@@ -1,0 +1,247 @@
+"""High-level facade: configure a Dirichlet-Poisson problem, solve, get results.
+
+TPU-native equivalent of the reference's DirichletSolver orchestration layer
+(reference solver/dirichlet_solver.hpp:79-184, dirichlet_solver.cpp:11-251):
+owns the problem/operator, maps per-criterion enable flags onto the stop
+config, runs the CG solver with callbacks, and assembles a full
+:class:`SolverResults` (solution / true solution / residual / error vectors,
+node coordinates, norms, convergence metadata — reference
+solver/dirichlet_solver.hpp:11-24) in the reference's compacted ordering so
+downstream IO/visualization match.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field, replace
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+from iterative_solvers_tpu.core.problem import PoissonProblem
+from iterative_solvers_tpu.core import ordering
+from iterative_solvers_tpu.ops.stencil import StencilOperator
+from iterative_solvers_tpu.ops.sparse import SparseOperator
+from iterative_solvers_tpu.solvers.cg import CGOptions, CGResult, cg_solve
+from iterative_solvers_tpu.solvers.stopping import StopConfig, StopReason
+
+
+@dataclass
+class SolverResults:
+    """Everything a solve produces, in compacted unknown ordering
+    (reference SolverResults, solver/dirichlet_solver.hpp:11-24)."""
+
+    solution: np.ndarray
+    true_solution: np.ndarray
+    residual: np.ndarray  # b − A x
+    error: np.ndarray  # x − u_exact (empty if no exact solution)
+    x_coords: np.ndarray
+    y_coords: np.ndarray
+    iterations: int
+    converged: bool
+    stop_reason: StopReason
+    residual_norm: float  # ‖r‖∞ (reference reports max-norms)
+    error_norm: float  # ‖x−u‖∞
+    precision_norm: float  # ‖x_k − x_{k−1}‖∞ at the last step
+    elapsed_s: float
+    # problem metadata (for save/load round-trips)
+    nx: int = 0
+    ny: int = 0
+    bounds: tuple = (0.0, 1.0, 0.0, 1.0)  # (x0, x1, y0, y1)
+    eps: float = 1e-6
+    max_iterations: int = 10000
+    history: Optional[np.ndarray] = None
+
+    def solution_field(self, domain) -> np.ndarray:
+        """Scatter the compacted solution back onto the full grid
+        (the correct version of the reference's rectangular-only
+        ``solutionToMatrix``, dirichlet_solver.cpp:193-205)."""
+        return np.asarray(ordering.unpack(jnp.asarray(self.solution), domain))
+
+    def save(self, path: str) -> None:
+        from iterative_solvers_tpu.results_io import save_results
+
+        save_results(path, self)
+
+    def report(self) -> str:
+        from iterative_solvers_tpu.report import results_report
+
+        return results_report(self)
+
+
+class DirichletSolver:
+    """Facade: Г-domain Dirichlet-Poisson + CG with reference semantics.
+
+    >>> s = DirichletSolver(nx=30, ny=30)           # GUI defaults
+    >>> res = s.solve()
+    >>> res.converged, res.iterations
+
+    Reference defaults reproduced: domain [1,2]² (solver/main.cpp:617-620),
+    eps=1e-6 on precision+residual, exact-error off, max 10000 iterations
+    (solver/dirichlet_solver.cpp:14-16).
+    """
+
+    def __init__(
+        self,
+        nx: int = 30,
+        ny: int = 30,
+        x0: float = 1.0,
+        x1: float = 2.0,
+        y0: float = 1.0,
+        y1: float = 2.0,
+        *,
+        domain: Optional[Domain2D] = None,
+        problem: Optional[PoissonProblem] = None,
+        operator: str = "stencil",  # 'stencil' (matrix-free) | 'sparse' (CSR)
+        dtype=None,
+        stop: Optional[StopConfig] = None,
+        beta_kind: str = "msg",
+        preconditioner: Optional[str] = None,
+        mesh=None,
+    ) -> None:
+        if problem is not None:
+            self.problem = problem
+        else:
+            dom = domain or Domain2D(nx=nx, ny=ny, x0=x0, x1=x1, y0=y0, y1=y1)
+            self.problem = PoissonProblem.manufactured(dom)
+        self.operator_kind = operator
+        self.dtype = dtype
+        self.stop = stop or StopConfig()
+        self.beta_kind = beta_kind
+        self.preconditioner = preconditioner
+        self.mesh = mesh
+        self._stop_event = threading.Event()
+        self._op = None
+
+    # --- parameter setters (reference dirichlet_solver.cpp:35-53,71-87) ----
+
+    @property
+    def domain(self) -> Domain2D:
+        return self.problem.domain
+
+    def set_grid(self, nx: int, ny: int, x0=None, x1=None, y0=None, y1=None) -> None:
+        d = self.domain
+        dom = Domain2D(
+            nx=nx,
+            ny=ny,
+            x0=d.x0 if x0 is None else x0,
+            x1=d.x1 if x1 is None else x1,
+            y0=d.y0 if y0 is None else y0,
+            y1=d.y1 if y1 is None else y1,
+            shape=d.shape,
+            inside_fn=d.inside_fn,
+        )
+        self.problem = replace(self.problem, domain=dom)
+        self._op = None
+
+    def set_stop(self, **kwargs) -> None:
+        """Update stop criteria; eps <= 0 disables a criterion
+        (reference per-criterion enable flags, dirichlet_solver.cpp:71-87)."""
+        self.stop = replace(self.stop, **kwargs)
+
+    def request_stop(self) -> None:
+        """Cooperative interrupt (reference dirichlet_solver.hpp:151-156 →
+        the atomic flag in msg_solver.hpp:35)."""
+        self._stop_event.set()
+
+    # --- solve --------------------------------------------------------------
+
+    def _make_operator(self):
+        if self._op is None:
+            if self.operator_kind == "sparse":
+                self._op = SparseOperator.from_domain(self.domain, self.dtype)
+            else:
+                self._op = StencilOperator.from_domain(self.domain, self.dtype)
+        return self._op
+
+    def solve(
+        self,
+        callback: Optional[Callable[[int, float, float, float], None]] = None,
+        completion_callback: Optional[Callable[[bool, str], None]] = None,
+        record_history: bool = True,
+    ) -> SolverResults:
+        self._stop_event.clear()
+        dom = self.domain
+        A = self._make_operator()
+        b = self.problem.rhs_field(self.dtype)
+        u = None
+        if self.problem.u_exact is not None:
+            u = self.problem.true_solution_field(self.dtype)
+        if self.operator_kind == "sparse":
+            b = ordering.pack(b, dom)
+            u = ordering.pack(u, dom) if u is not None else None
+
+        M = None
+        if self.preconditioner:
+            from iterative_solvers_tpu.solvers.precond import make_preconditioner
+
+            M = make_preconditioner(self.preconditioner, A, dom)
+
+        opts = CGOptions(
+            stop=self.stop,
+            beta_kind=self.beta_kind,
+            preconditioner=M,
+            callback=callback,
+            stop_requested=self._stop_event.is_set,
+            record_history=record_history,
+        )
+        res = cg_solve(A, b, u_true=u, options=opts)
+        results = self._assemble_results(res, b, u)
+        if completion_callback is not None:
+            # reference completion callback (solver.hpp:30, dirichlet_solver.cpp:126-128)
+            completion_callback(results.converged, results.stop_reason.text())
+        return results
+
+    def _assemble_results(self, res: CGResult, b, u) -> SolverResults:
+        dom = self.domain
+        A = self._op
+        x = res.x
+        r = b - A(x)  # final residual via a fresh apply (dirichlet_solver.cpp:147-161)
+        if self.operator_kind == "sparse":
+            sol, tru, resid = x, u, r
+        else:
+            sol = ordering.pack(x, dom)
+            tru = ordering.pack(u, dom) if u is not None else None
+            resid = ordering.pack(r, dom)
+        sol = np.asarray(sol, np.float64)
+        resid = np.asarray(resid, np.float64)
+        if tru is not None:
+            tru = np.asarray(tru, np.float64)
+            err = sol - tru
+        else:
+            tru = np.zeros(0)
+            err = np.zeros(0)
+        xs, ys = ordering.node_coordinates(dom)
+        eps_active = [
+            e
+            for e in (
+                self.stop.eps_precision,
+                self.stop.eps_residual,
+                self.stop.eps_exact_error,
+                self.stop.eps_relative,
+            )
+            if e > 0
+        ]
+        return SolverResults(
+            solution=sol,
+            true_solution=tru,
+            residual=resid,
+            error=err,
+            x_coords=xs,
+            y_coords=ys,
+            iterations=res.iterations,
+            converged=res.converged,
+            stop_reason=res.reason,
+            residual_norm=float(np.max(np.abs(resid))) if resid.size else 0.0,
+            error_norm=float(np.max(np.abs(err))) if err.size else float("inf"),
+            precision_norm=res.precision_max,
+            elapsed_s=res.elapsed_s,
+            nx=dom.nx,
+            ny=dom.ny,
+            bounds=(dom.x0, dom.x1, dom.y0, dom.y1),
+            eps=min(eps_active) if eps_active else -1.0,
+            max_iterations=self.stop.max_iterations,
+            history=res.history,
+        )

@@ -1,0 +1,156 @@
+"""Poisson problem definition and RHS assembly (full-grid, masked).
+
+The linear system is the discrete Laplacian itself: ``A u = f`` with Dirichlet
+values eliminated into the RHS — NOT ``-Δu = -f``. The assembled operator is
+therefore symmetric *negative*-definite, matching the reference
+(diag ``-2(1/hx²+1/hy²)``, off-diag ``+1/h²``; reference
+solver/grid_system.cpp:314-318) and its CG sign conventions
+(reference check.py:28-41).
+
+BC elimination (reference solver/grid_system.cpp:45-67): for an interior node
+whose neighbor lies on the Dirichlet boundary,
+``rhs -= coeff * g(neighbor)``. On the full grid this is a single fused
+expression: shift the boundary-masked Dirichlet field in the four stencil
+directions.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+
+ScalarField2D = Callable[[np.ndarray, np.ndarray], np.ndarray]
+ScalarField3D = Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray]
+
+Domain = Union[Domain2D, Domain3D]
+
+
+def _reference_f(x, y):
+    """Manufactured source f = 4(x²+y²)·exp(x²−y²) (reference grid_system.cpp:8-10)."""
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    return 4.0 * (x * x + y * y) * xp.exp(x * x - y * y)
+
+
+def _reference_u(x, y):
+    """Manufactured exact solution u = exp(x²−y²) (reference grid_system.cpp:12-15)."""
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    return xp.exp(x * x - y * y)
+
+
+def _reference_f3(x, y, z):
+    """3D manufactured source for u = sin(πx)sin(πy)sin(πz): Δu = -3π²u."""
+    return -3.0 * math.pi**2 * _reference_u3(x, y, z)
+
+
+def _reference_u3(x, y, z):
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    return xp.sin(math.pi * x) * xp.sin(math.pi * y) * xp.sin(math.pi * z)
+
+
+@dataclass(frozen=True)
+class PoissonProblem:
+    """``Δu = f`` on ``domain`` with Dirichlet data ``g`` on the boundary.
+
+    ``u_exact`` (optional) enables the exact-error stop criterion and error
+    reporting, mirroring the reference's manufactured-solution machinery
+    (reference solver/grid_system.cpp:276-299).
+    """
+
+    domain: Domain
+    f: Callable = _reference_f
+    g: Optional[Callable] = None  # defaults to u_exact (manufactured BC)
+    u_exact: Optional[Callable] = _reference_u
+
+    @staticmethod
+    def manufactured(domain: Domain) -> "PoissonProblem":
+        """The reference's canonical problem: u = exp(x²−y²) on the Г-domain
+        (2D) or u = sin(πx)sin(πy)sin(πz) on a box (3D)."""
+        if isinstance(domain, Domain3D):
+            return PoissonProblem(domain, f=_reference_f3, u_exact=_reference_u3)
+        return PoissonProblem(domain)
+
+    @property
+    def dirichlet(self) -> Callable:
+        if self.g is not None:
+            return self.g
+        if self.u_exact is None:
+            raise ValueError("no Dirichlet data: provide g or u_exact")
+        return self.u_exact
+
+    # --- assembly -----------------------------------------------------------
+
+    def rhs_field(self, dtype=None) -> jnp.ndarray:
+        """Full-grid RHS with BC eliminated, zero outside the interior mask.
+
+        Equivalent to the reference's per-node ``calculate_value``
+        (solver/grid_system.cpp:45-67) vectorized over the whole grid.
+        """
+        dom = self.domain
+        dtype = dtype or _default_dtype()
+        if isinstance(dom, Domain3D):
+            return self._rhs_field_3d(dtype)
+        X, Y = dom.coords(np.float64)
+        F = np.asarray(self.f(X, Y), dtype=np.float64)
+        G = np.where(dom.boundary, np.asarray(self.dirichlet(X, Y), np.float64), 0.0)
+        pad = np.pad(G, 1)
+        rhs = (
+            F
+            - dom.coeff_x * (pad[1:-1, :-2] + pad[1:-1, 2:])
+            - dom.coeff_y * (pad[:-2, 1:-1] + pad[2:, 1:-1])
+        )
+        rhs = np.where(dom.interior, rhs, 0.0)
+        return jnp.asarray(rhs, dtype=dtype)
+
+    def _rhs_field_3d(self, dtype) -> jnp.ndarray:
+        dom = self.domain
+        X, Y, Z = dom.coords(np.float64)
+        F = np.asarray(self.f(X, Y, Z), dtype=np.float64)
+        G = np.where(dom.boundary, np.asarray(self.dirichlet(X, Y, Z), np.float64), 0.0)
+        pad = np.pad(G, 1)
+        rhs = (
+            F
+            - dom.coeff_x * (pad[1:-1, 1:-1, :-2] + pad[1:-1, 1:-1, 2:])
+            - dom.coeff_y * (pad[1:-1, :-2, 1:-1] + pad[1:-1, 2:, 1:-1])
+            - dom.coeff_z * (pad[:-2, 1:-1, 1:-1] + pad[2:, 1:-1, 1:-1])
+        )
+        rhs = np.where(dom.interior, rhs, 0.0)
+        return jnp.asarray(rhs, dtype=dtype)
+
+    def true_solution_field(self, dtype=None, masked: bool = True) -> jnp.ndarray:
+        """u_exact sampled on the grid; interior-masked by default so it is
+        directly comparable with solver iterates (which are zero off-interior).
+
+        Reference analogue: ``get_true_solution_vector``
+        (solver/grid_system.cpp:276-299).
+        """
+        if self.u_exact is None:
+            raise ValueError("problem has no exact solution")
+        dom = self.domain
+        dtype = dtype or _default_dtype()
+        coords = dom.coords(np.float64)
+        U = np.asarray(self.u_exact(*coords), dtype=np.float64)
+        if masked:
+            U = np.where(dom.interior, U, 0.0)
+        return jnp.asarray(U, dtype=dtype)
+
+    def boundary_field(self, dtype=None) -> jnp.ndarray:
+        """Dirichlet data on boundary nodes, zero elsewhere (for plotting and
+        for reconstructing the full solution surface)."""
+        dom = self.domain
+        dtype = dtype or _default_dtype()
+        coords = dom.coords(np.float64)
+        G = np.where(
+            dom.boundary, np.asarray(self.dirichlet(*coords), np.float64), 0.0
+        )
+        return jnp.asarray(G, dtype=dtype)
+
+
+def _default_dtype():
+    """float64 when jax x64 is enabled, else float32."""
+    return jnp.asarray(0.0).dtype

@@ -1,0 +1,324 @@
+"""Conjugate-gradient solver, compiled as a chunked `lax.while_loop`.
+
+TPU-native re-design of the reference's MSGSolver hot loop
+(reference solver/msg_solver.cpp:80-184):
+
+- The whole CG iteration — operator apply, dots, axpys, all stop-criterion
+  norms — is one `lax.while_loop` body compiled once by XLA. The reference's
+  per-call host mirror copies in dot/norm (msg_solver.cpp:215-258, its
+  dominant overhead) have no analogue here: everything stays on device.
+- Host interaction (iteration callbacks, cooperative interrupt, reference
+  msg_solver.cpp:82-87 and :172-183) happens *between chunks*: the driver
+  runs the compiled loop up to the next callback boundary, syncs a few
+  scalars, fires callbacks, checks the stop flag, and re-enters. One compile
+  serves every chunk because the chunk boundary is a traced argument.
+- Works on any array shape: full-grid masked fields (matrix-free stencil
+  path) or compacted vectors (explicit sparse path). Dot products contract
+  over everything; masked entries are identically zero so both views agree
+  with the reference's compacted arithmetic exactly.
+
+Recurrence parity: with ``beta_kind='msg'`` this is the reference recurrence
+x0=0, r=b, z=r, alpha=(r,z)/(Az,z), beta=‖r_new‖²/(r,z)
+(msg_solver.cpp:33-39,96-102,165-169), which the golden tests match against
+py_debug.txt to f64 round-off. ``beta_kind='fr'`` is the textbook
+Fletcher–Reeves form used by the reference's matrix-free solver
+(matrix_free_system.cpp:431-438). With a preconditioner, standard PCG.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field as dataclass_field
+from functools import partial
+from typing import Any, Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iterative_solvers_tpu.solvers.stopping import StopConfig, StopReason
+
+Array = jnp.ndarray
+Operator = Callable[[Array], Array]
+
+
+class CGState(NamedTuple):
+    x: Array
+    r: Array
+    z: Array  # descent direction (preconditioned direction p for PCG)
+    k: Array  # int32 iterations done
+    done: Array  # bool: a stop criterion fired
+    reason: Array  # int32 StopReason value
+    rz: Array  # (r, z) of the *current* residual/direction pair (PCG carry)
+    r_norm2: Array  # ‖r‖² after the last update (fr beta, relative criterion)
+    prec_max: Array  # ‖x_k − x_{k−1}‖∞
+    r_max: Array  # ‖r‖∞
+    err_max: Array  # ‖x − u_true‖∞ (inf when no true solution given)
+    r0_norm: Array  # ‖r₀‖₂, for the relative criterion
+
+
+def _dot(a: Array, b: Array) -> Array:
+    return jnp.sum(a * b)
+
+
+def _maxabs(a: Array) -> Array:
+    return jnp.max(jnp.abs(a))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _cg_chunk(A, M, stop: StopConfig, beta_kind: str, state: CGState, u_true, k_stop):
+    """Run CG iterations until a stop criterion fires or k reaches k_stop."""
+
+    big = jnp.asarray(jnp.inf, state.r.dtype)
+
+    def body(s: CGState) -> CGState:
+        Az = A(s.z)
+        Azz = _dot(Az, s.z)
+        if M is None:
+            rz = _dot(s.r, s.z)
+        else:
+            rz = s.rz
+        alpha = rz / Azz
+        x = s.x + alpha * s.z
+        r = s.r - alpha * Az
+
+        r2 = _dot(r, r)
+        r_max = _maxabs(r)
+        prec_max = jnp.abs(alpha) * _maxabs(s.z)
+        if u_true is not None:
+            err_max = _maxabs(x - u_true)
+        else:
+            err_max = big
+
+        # Stop checks, reference priority order (msg_solver.cpp:144-162).
+        false = jnp.asarray(False)
+        done_p = (prec_max < stop.eps_precision) if stop.eps_precision > 0 else false
+        done_r = (r_max < stop.eps_residual) if stop.eps_residual > 0 else false
+        done_e = (
+            (err_max < stop.eps_exact_error)
+            if (stop.eps_exact_error > 0 and u_true is not None)
+            else false
+        )
+        done_rel = (
+            (jnp.sqrt(r2) < stop.eps_relative * s.r0_norm)
+            if stop.eps_relative > 0
+            else false
+        )
+        reason = jnp.where(
+            done_p,
+            int(StopReason.PRECISION),
+            jnp.where(
+                done_r,
+                int(StopReason.RESIDUAL),
+                jnp.where(
+                    done_e,
+                    int(StopReason.EXACT_ERROR),
+                    jnp.where(
+                        done_rel,
+                        int(StopReason.RELATIVE_RESIDUAL),
+                        int(StopReason.ITERATIONS),
+                    ),
+                ),
+            ),
+        ).astype(jnp.int32)
+        done = done_p | done_r | done_e | done_rel
+
+        # Direction update.
+        if M is None:
+            if beta_kind == "msg":
+                beta = r2 / rz  # reference msg_solver.cpp:165
+            elif beta_kind == "fr":
+                beta = r2 / s.r_norm2  # reference matrix_free_system.cpp:431
+            else:
+                raise ValueError(f"unknown beta_kind {beta_kind!r}")
+            z = r + beta * s.z
+            rz_new = r2  # informational
+        else:
+            w = M(r)
+            rz_new = _dot(r, w)
+            beta = rz_new / rz
+            z = w + beta * s.z
+
+        return CGState(
+            x=x,
+            r=r,
+            z=z,
+            k=s.k + 1,
+            done=done,
+            reason=reason,
+            rz=rz_new,
+            r_norm2=r2,
+            prec_max=prec_max,
+            r_max=r_max,
+            err_max=err_max,
+            r0_norm=s.r0_norm,
+        )
+
+    def cond(s: CGState):
+        return (~s.done) & (s.k < k_stop)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+@dataclass
+class CGOptions:
+    """Solver options; defaults mirror the reference DirichletSolver
+    (solver/dirichlet_solver.cpp:14-16)."""
+
+    stop: StopConfig = dataclass_field(default_factory=StopConfig)
+    beta_kind: str = "msg"  # 'msg' | 'fr'
+    preconditioner: Optional[Operator] = None
+    callback: Optional[Callable[[int, float, float, float], None]] = None
+    callback_every: int = 100  # reference trace cadence (msg_solver.cpp:172)
+    chunk_size: Optional[int] = None  # iterations per device round-trip
+    stop_requested: Optional[Callable[[], bool]] = None  # cooperative interrupt
+    record_history: bool = False
+
+
+@dataclass
+class CGResult:
+    """Converged-state summary, the reference's report fields
+    (msg_solver.cpp:186-195, 261-304) as data."""
+
+    x: Array
+    iterations: int
+    converged: bool
+    reason: StopReason
+    precision_max: float
+    residual_max: float
+    error_max: float
+    residual_norm: float  # ‖r‖₂
+    initial_residual_norm: float
+    elapsed_s: float
+    history: Optional[np.ndarray] = None  # rows: (iter, prec∞, r∞, err∞, ‖r‖₂)
+
+    def report(self) -> str:
+        from iterative_solvers_tpu.report import cg_report
+
+        return cg_report(self)
+
+
+def cg_solve(
+    A: Operator,
+    b: Array,
+    *,
+    x0: Optional[Array] = None,
+    u_true: Optional[Array] = None,
+    options: Optional[CGOptions] = None,
+) -> CGResult:
+    """Solve ``A x = b`` by (preconditioned) conjugate gradients.
+
+    ``A`` must be a hashable callable (the framework's operator dataclasses
+    are); ``b``, ``x0``, ``u_true`` share one shape — full-grid fields or
+    compacted vectors. Returns a :class:`CGResult`.
+    """
+    opts = options or CGOptions()
+    stop = opts.stop
+    M = opts.preconditioner
+
+    t0 = time.perf_counter()
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b  # reference: x0 = 0 ⇒ r = b (msg_solver.cpp:33-39)
+    else:
+        x = x0
+        r = b - A(x0)
+
+    z = M(r) if M is not None else r
+    rz0 = _dot(r, z)
+    r2_0 = _dot(r, r)
+    r_max0 = _maxabs(r)
+    err0 = _maxabs(x - u_true) if u_true is not None else jnp.asarray(jnp.inf, b.dtype)
+    r0_norm = jnp.sqrt(r2_0)
+
+    state = CGState(
+        x=x,
+        r=r,
+        z=z,
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
+        rz=rz0,
+        r_norm2=r2_0,
+        prec_max=jnp.asarray(jnp.inf, b.dtype),
+        r_max=r_max0,
+        err_max=err0,
+        r0_norm=r0_norm,
+    )
+
+    history: List[Tuple[float, ...]] = []
+
+    def fire(k: int, prec: float, rmax: float, emax: float, rn: float) -> None:
+        if opts.callback is not None:
+            opts.callback(k, prec, rmax, emax)
+        if opts.record_history:
+            history.append((k, prec, rmax, emax, rn))
+
+    # Iteration-0 callback (reference msg_solver.cpp:75-77).
+    fire(0, math.inf, float(r_max0), float(err0), float(r0_norm))
+
+    if float(r2_0) == 0.0:  # x0 already exact; avoid 0/0 in the loop
+        return _make_result(state, StopReason.RESIDUAL, True, r0_norm, t0, history, opts)
+
+    max_iter = stop.max_iterations
+    cb_every = max(1, opts.callback_every)
+    chunk = opts.chunk_size or (cb_every if opts.callback else min(max_iter, 500))
+
+    interrupted = False
+    reason = StopReason.ITERATIONS
+    k = 0
+    while k < max_iter:
+        if opts.stop_requested is not None and opts.stop_requested():
+            # reference msg_solver.cpp:82-87: checked at iteration top
+            interrupted = True
+            reason = StopReason.INTERRUPTED
+            break
+        if opts.callback is not None:
+            # Boundaries at 1, cb_every, 2*cb_every, … (reference cadence
+            # `iterationsDone % 100 == 0 || iterationsDone == 1`).
+            k_stop = 1 if k == 0 else min((k // cb_every + 1) * cb_every, max_iter)
+        else:
+            k_stop = min(k + chunk, max_iter)
+        state = _cg_chunk(A, M, stop, opts.beta_kind, state, u_true, jnp.asarray(k_stop, jnp.int32))
+        k, done, reason_code, prec, rmax, emax, r2 = (
+            int(state.k),
+            bool(state.done),
+            int(state.reason),
+            float(state.prec_max),
+            float(state.r_max),
+            float(state.err_max),
+            float(state.r_norm2),
+        )
+        if done:
+            reason = StopReason(reason_code)
+            break
+        if opts.callback is not None or opts.record_history:
+            fire(k, prec, rmax, emax, math.sqrt(r2))
+
+    converged = reason.converged and not interrupted
+    # Final callback (reference msg_solver.cpp:192-195, unconditional).
+    fire(
+        int(state.k),
+        float(state.prec_max),
+        float(state.r_max),
+        float(state.err_max),
+        math.sqrt(float(state.r_norm2)),
+    )
+    return _make_result(state, reason, converged, r0_norm, t0, history, opts)
+
+
+def _make_result(state, reason, converged, r0_norm, t0, history, opts) -> CGResult:
+    return CGResult(
+        x=state.x,
+        iterations=int(state.k),
+        converged=bool(converged),
+        reason=reason,
+        precision_max=float(state.prec_max),
+        residual_max=float(state.r_max),
+        error_max=float(state.err_max),
+        residual_norm=math.sqrt(max(float(state.r_norm2), 0.0)),
+        initial_residual_norm=float(r0_norm),
+        elapsed_s=time.perf_counter() - t0,
+        history=np.asarray(history) if opts.record_history else None,
+    )
