@@ -152,6 +152,12 @@ class DirichletSolver:
         if self._op is None:
             if self.operator_kind == "sparse":
                 self._op = SparseOperator.from_domain(self.domain, self.dtype)
+            elif self.operator_kind == "pallas":
+                from iterative_solvers_tpu.kernels.stencil_pallas import (
+                    PallasStencilOperator,
+                )
+
+                self._op = PallasStencilOperator.from_domain(self.domain, self.dtype)
             else:
                 self._op = StencilOperator.from_domain(self.domain, self.dtype)
         return self._op
@@ -172,6 +178,9 @@ class DirichletSolver:
         if self.operator_kind == "sparse":
             b = ordering.pack(b, dom)
             u = ordering.pack(u, dom) if u is not None else None
+        elif self.operator_kind == "pallas":
+            b = A.pad(b)
+            u = A.pad(u) if u is not None else None
 
         M = None
         if self.preconditioner:
@@ -199,6 +208,8 @@ class DirichletSolver:
         A = self._op
         x = res.x
         r = b - A(x)  # final residual via a fresh apply (dirichlet_solver.cpp:147-161)
+        if self.operator_kind == "pallas":
+            x, u, r = A.crop(x), (A.crop(u) if u is not None else None), A.crop(r)
         if self.operator_kind == "sparse":
             sol, tru, resid = x, u, r
         else:

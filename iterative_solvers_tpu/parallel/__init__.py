@@ -1,0 +1,19 @@
+from iterative_solvers_tpu.parallel.mesh import (
+    make_solver_mesh,
+    pad_field,
+    crop_field,
+    padded_grid_shape,
+    shard_field,
+    make_sharded_problem,
+)
+from iterative_solvers_tpu.parallel.halo import ShardedStencilOperator
+
+__all__ = [
+    "make_solver_mesh",
+    "pad_field",
+    "crop_field",
+    "padded_grid_shape",
+    "shard_field",
+    "make_sharded_problem",
+    "ShardedStencilOperator",
+]

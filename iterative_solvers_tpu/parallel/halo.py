@@ -1,0 +1,109 @@
+"""Halo-exchanging stencil operator under `shard_map`.
+
+TPU-native distributed SpMV (nothing like it exists in the reference — SURVEY
+§2.4 maps its serial stencil loops here): each device owns a contiguous
+(rows x cols) block of the full node grid; one row/column of halo is
+exchanged with mesh neighbors via `lax.ppermute` (XLA lowers these to ICI
+collective-permutes), then the 5-point update runs locally on the VPU.
+
+Edge wraparound needs no special-casing: halos arriving across the global
+grid edge only ever influence output nodes on that edge, which the interior
+mask zeroes — boundary rows of the grid are never unknowns, and mesh padding
+rows (parallel/mesh.py) are exterior. Inputs are masked *before* the
+exchange, so neighbor blocks' boundary/padding values contribute nothing.
+
+This operator plugs directly into `cg_solve`: the CG loop itself stays at the
+jit/GSPMD level, where dot products over block-sharded fields compile to
+all-reduces over the mesh — the TPU equivalent of the reference's host-side
+scalar reductions (reference solver/msg_solver.cpp:215-258).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from iterative_solvers_tpu.core.domain import Domain2D
+from iterative_solvers_tpu.parallel import mesh as mesh_lib
+
+
+def _fwd(axis: str):  # halo travels toward higher index: i -> i+1
+    n = lax.axis_size(axis)
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def _bwd(axis: str):
+    n = lax.axis_size(axis)
+    return [(i, (i - 1) % n) for i in range(n)]
+
+
+def _halo_apply_2d(x, interior, cd: float, cx: float, cy: float, ay: str, ax: str):
+    """Per-block 5-point update with 1-deep halo exchange on both mesh axes."""
+    xm = jnp.where(interior, x, 0)
+
+    # Rows from the y-neighbors: previous block's last row, next block's first.
+    row_above = lax.ppermute(xm[-1:, :], ay, perm=_fwd(ay))
+    row_below = lax.ppermute(xm[:1, :], ay, perm=_bwd(ay))
+    up = jnp.concatenate([row_above, xm[:-1, :]], axis=0)  # value at iy-1
+    dn = jnp.concatenate([xm[1:, :], row_below], axis=0)  # value at iy+1
+
+    col_left = lax.ppermute(xm[:, -1:], ax, perm=_fwd(ax))
+    col_right = lax.ppermute(xm[:, :1], ax, perm=_bwd(ax))
+    lf = jnp.concatenate([col_left, xm[:, :-1]], axis=1)  # value at ix-1
+    rt = jnp.concatenate([xm[:, 1:], col_right], axis=1)  # value at ix+1
+
+    y = cd * xm + cx * (lf + rt) + cy * (up + dn)
+    return jnp.where(interior, y, 0)
+
+
+@dataclass(frozen=True, eq=False)
+class ShardedStencilOperator:
+    """Matrix-free masked 5-point operator over a block-sharded field.
+
+    Construct with :meth:`from_domain`; call on fields produced by
+    :func:`iterative_solvers_tpu.parallel.mesh.shard_field`.
+    """
+
+    mesh: Mesh
+    interior: jnp.ndarray  # padded + sharded bool mask
+    coeffs: Tuple[float, float, float]
+    grid_shape: Tuple[int, int]  # unpadded shape, for cropping
+
+    @staticmethod
+    def from_domain(domain: Domain2D, mesh: Mesh, dtype=None) -> "ShardedStencilOperator":
+        interior = mesh_lib.shard_field(jnp.asarray(domain.interior), mesh)
+        coeffs = (domain.coeff_diag, domain.coeff_x, domain.coeff_y)
+        return ShardedStencilOperator(mesh, interior, coeffs, domain.grid_shape)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ay, ax = self.mesh.axis_names[0], self.mesh.axis_names[-1]
+        spec = mesh_lib.field_spec(self.mesh)
+        fn = partial(_halo_apply_2d, cd=self.coeffs[0], cx=self.coeffs[1],
+                     cy=self.coeffs[2], ay=ay, ax=ax)
+        return jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(spec, spec),
+            out_specs=spec,
+        )(x, self.interior)
+
+    @property
+    def shape(self):
+        return self.interior.shape
+
+    def mask(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.where(self.interior, x, 0)
+
+    def diagonal(self) -> jnp.ndarray:
+        return jnp.where(self.interior, self.coeffs[0], 0.0)
+
+    def nnz(self) -> int:
+        from iterative_solvers_tpu.ops.stencil import StencilOperator
+
+        return StencilOperator(jnp.asarray(self.interior), self.coeffs).nnz()

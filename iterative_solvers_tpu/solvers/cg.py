@@ -161,6 +161,27 @@ def _cg_chunk(A, M, stop: StopConfig, beta_kind: str, state: CGState, u_true, k_
     return jax.lax.while_loop(cond, body, state)
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def cg_run(A, b, n_iters: int):
+    """Fixed-iteration MSG-CG (x0 = 0), fully fused: no stop criteria, no
+    host sync — the pure compute core, for benchmarking and compile checks.
+    Returns (x, ‖r‖²)."""
+
+    def body(_, carry):
+        x, r, z = carry
+        Az = A(z)
+        rz = _dot(r, z)
+        alpha = rz / _dot(Az, z)
+        x = x + alpha * z
+        r = r - alpha * Az
+        beta = _dot(r, r) / rz
+        z = r + beta * z
+        return (x, r, z)
+
+    x, r, z = jax.lax.fori_loop(0, n_iters, body, (jnp.zeros_like(b), b, b))
+    return x, _dot(r, r)
+
+
 @dataclass
 class CGOptions:
     """Solver options; defaults mirror the reference DirichletSolver

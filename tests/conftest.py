@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+# The axon sitecustomize pre-sets jax_platforms at interpreter startup, so the
+# env var alone is not enough — force the config too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
