@@ -167,6 +167,8 @@ class DirichletSolver:
         callback: Optional[Callable[[int, float, float, float], None]] = None,
         completion_callback: Optional[Callable[[bool, str], None]] = None,
         record_history: bool = True,
+        callback_every: int = 100,
+        state_callback: Optional[Callable] = None,
     ) -> SolverResults:
         self._stop_event.clear()
         dom = self.domain
@@ -193,8 +195,10 @@ class DirichletSolver:
             beta_kind=self.beta_kind,
             preconditioner=M,
             callback=callback,
+            callback_every=callback_every,
             stop_requested=self._stop_event.is_set,
             record_history=record_history,
+            state_callback=state_callback,
         )
         res = cg_solve(A, b, u_true=u, options=opts)
         results = self._assemble_results(res, b, u)

@@ -1,0 +1,171 @@
+"""Command-line front-end.
+
+Flag-based, non-interactive replacement for the reference's stdin CLI
+(reference solver/main.cpp:596-712: prompts for n, m on stdin, fixed [1,2]²
+domain, then prints residual/error summaries and optional result/matrix
+dumps). Everything the reference CLI and GUI expose is a flag here: grid,
+bounds, per-criterion epsilons, operator choice, preconditioner, saves,
+plots, and a live progress trace at the reference's cadence
+(msg_solver.cpp:172-183).
+
+Usage examples::
+
+    python -m iterative_solvers_tpu solve --nx 30 --ny 30
+    python -m iterative_solvers_tpu solve --nx 128 --ny 128 \
+        --eps-residual 1e-6 --operator pallas --save out.txt --plots outdir/
+    python -m iterative_solvers_tpu solve --nx 64 --ny 64 --shape rect \
+        --precond chebyshev:8 --save-npz out.npz --save-matrix mat.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="iterative_solvers_tpu",
+        description="TPU-native Dirichlet-Poisson iterative solver",
+    )
+    sub = p.add_subparsers(dest="command")
+
+    s = sub.add_parser("solve", help="solve a Dirichlet-Poisson problem")
+    s.add_argument("--nx", type=int, default=30, help="x intervals (reference n)")
+    s.add_argument("--ny", type=int, default=30, help="y intervals (reference m)")
+    s.add_argument("--x0", type=float, default=1.0)
+    s.add_argument("--x1", type=float, default=2.0)
+    s.add_argument("--y0", type=float, default=1.0)
+    s.add_argument("--y1", type=float, default=2.0)
+    s.add_argument("--shape", choices=["gamma", "rect"], default="gamma")
+    s.add_argument("--operator", choices=["stencil", "sparse", "pallas"], default="stencil")
+    s.add_argument("--precond", default=None, help="jacobi | chebyshev[:degree]")
+    s.add_argument("--beta", choices=["msg", "fr"], default="msg", help="CG beta recurrence")
+    s.add_argument("--eps-precision", type=float, default=1e-6,
+                   help="max-norm step criterion; <=0 disables")
+    s.add_argument("--eps-residual", type=float, default=1e-6,
+                   help="max-norm residual criterion; <=0 disables")
+    s.add_argument("--eps-error", type=float, default=-1.0,
+                   help="max-norm exact-error criterion; <=0 disables")
+    s.add_argument("--eps-relative", type=float, default=-1.0,
+                   help="relative l2 residual criterion; <=0 disables")
+    s.add_argument("--max-iter", type=int, default=10000)
+    s.add_argument("--dtype", choices=["f32", "f64"], default=None,
+                   help="default: f64 on CPU, f32 on TPU")
+    s.add_argument("--platform", choices=["cpu", "tpu"], default=None)
+    s.add_argument("--progress-every", type=int, default=100,
+                   help="live trace cadence (0 silences it)")
+    s.add_argument("--save", metavar="PATH", help="sectioned-text results file")
+    s.add_argument("--save-npz", metavar="PATH", help="npz results file")
+    s.add_argument("--save-matrix", metavar="PATH", help="CSR matrix + RHS dump")
+    s.add_argument("--save-3d", metavar="PATH", help="gnuplot x y z export")
+    s.add_argument("--plots", metavar="DIR", help="write convergence/scatter/heatmap/surface PNGs")
+    s.add_argument("--report", action="store_true", help="print the full text report")
+    s.add_argument("--quiet", action="store_true")
+
+    sub.add_parser("version", help="print version")
+    return p
+
+
+def _configure_platform(platform: Optional[str]) -> None:
+    import jax
+
+    if platform == "cpu" or (platform is None and os.environ.get("ISTPU_FORCE_CPU")):
+        jax.config.update("jax_platforms", "cpu")
+    if platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+
+def cmd_solve(args) -> int:
+    _configure_platform(args.platform)
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu import results_io, viz
+    from iterative_solvers_tpu.api import DirichletSolver
+    from iterative_solvers_tpu.core.domain import Domain2D
+    from iterative_solvers_tpu.core import ordering
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    dtype = {"f32": jnp.float32, "f64": jnp.float64, None: None}[args.dtype]
+    stop = StopConfig(
+        eps_precision=args.eps_precision,
+        eps_residual=args.eps_residual,
+        eps_exact_error=args.eps_error,
+        eps_relative=args.eps_relative,
+        max_iterations=args.max_iter,
+    )
+    if not stop.any_enabled and not args.quiet:
+        # reference GUI validates ">= 1 criterion" (mainwindow.cpp:211-216)
+        print("note: no stop criterion enabled; running to --max-iter", file=sys.stderr)
+
+    dom = Domain2D(nx=args.nx, ny=args.ny, x0=args.x0, x1=args.x1,
+                   y0=args.y0, y1=args.y1, shape=args.shape)
+    solver = DirichletSolver(
+        domain=dom,
+        operator=args.operator,
+        dtype=dtype,
+        stop=stop,
+        beta_kind=args.beta,
+        preconditioner=args.precond,
+    )
+
+    callback = None
+    if args.progress_every > 0 and not args.quiet:
+        def callback(k, prec, rmax, emax):
+            def fmt(v):
+                return "  -  " if math.isinf(v) else f"{v:.3e}"
+            print(
+                f"iter {k:>6}  |dx|inf={fmt(prec)}  |r|inf={fmt(rmax)}  |err|inf={fmt(emax)}",
+                file=sys.stderr,
+            )
+
+    res = solver.solve(callback=callback, callback_every=max(1, args.progress_every))
+
+    if args.report or not args.quiet:
+        print(res.report())
+
+    if args.save:
+        results_io.save_results(args.save, res)
+    if args.save_npz:
+        results_io.save_results_npz(args.save_npz, res)
+    if args.save_matrix:
+        b = ordering.pack(solver.problem.rhs_field(dtype), dom)
+        results_io.save_matrix_and_rhs(args.save_matrix, dom, b)
+    if args.save_3d:
+        results_io.save_solution_3d(args.save_3d, res)
+    if args.plots:
+        os.makedirs(args.plots, exist_ok=True)
+        viz.convergence_plot(res, os.path.join(args.plots, "convergence.png"))
+        for q in ("solution", "error", "residual"):
+            viz.scatter_plot(res, os.path.join(args.plots, f"scatter_{q}.png"), q)
+        viz.heatmap(res, dom, os.path.join(args.plots, "heatmap_error.png"), "error")
+        viz.surface_3d(res, dom, os.path.join(args.plots, "surface.png"))
+        if not args.quiet:
+            print(f"plots written to {args.plots}/", file=sys.stderr)
+
+    return 0 if res.converged or not stop.any_enabled else 2
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.command == "version":
+        from iterative_solvers_tpu import __version__
+
+        print(__version__)
+        return 0
+    if args.command is None:
+        parser.print_help()
+        return 1
+    try:
+        return cmd_solve(args)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

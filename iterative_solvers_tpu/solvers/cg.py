@@ -195,6 +195,10 @@ class CGOptions:
     chunk_size: Optional[int] = None  # iterations per device round-trip
     stop_requested: Optional[Callable[[], bool]] = None  # cooperative interrupt
     record_history: bool = False
+    # Fired at every chunk sync with the full device state — checkpointing
+    # hook (the reference has no solver-state checkpointing, SURVEY §5; this
+    # is the long-run resume capability built on top of the chunked driver).
+    state_callback: Optional[Callable[["CGState"], None]] = None
 
 
 @dataclass
@@ -227,46 +231,55 @@ def cg_solve(
     x0: Optional[Array] = None,
     u_true: Optional[Array] = None,
     options: Optional[CGOptions] = None,
+    init_state: Optional[CGState] = None,
 ) -> CGResult:
     """Solve ``A x = b`` by (preconditioned) conjugate gradients.
 
     ``A`` must be a hashable callable (the framework's operator dataclasses
     are); ``b``, ``x0``, ``u_true`` share one shape — full-grid fields or
-    compacted vectors. Returns a :class:`CGResult`.
+    compacted vectors. Pass ``init_state`` (e.g. from
+    :func:`iterative_solvers_tpu.solvers.checkpoint.load_cg_state`) to resume
+    a previous run. Returns a :class:`CGResult`.
     """
     opts = options or CGOptions()
     stop = opts.stop
     M = opts.preconditioner
 
     t0 = time.perf_counter()
-    if x0 is None:
-        x = jnp.zeros_like(b)
-        r = b  # reference: x0 = 0 ⇒ r = b (msg_solver.cpp:33-39)
+    if init_state is not None:
+        state = init_state
+        r0_norm = state.r0_norm
+        r_max0, err0 = state.r_max, state.err_max
+        r2_0 = state.r_norm2
     else:
-        x = x0
-        r = b - A(x0)
+        if x0 is None:
+            x = jnp.zeros_like(b)
+            r = b  # reference: x0 = 0 ⇒ r = b (msg_solver.cpp:33-39)
+        else:
+            x = x0
+            r = b - A(x0)
 
-    z = M(r) if M is not None else r
-    rz0 = _dot(r, z)
-    r2_0 = _dot(r, r)
-    r_max0 = _maxabs(r)
-    err0 = _maxabs(x - u_true) if u_true is not None else jnp.asarray(jnp.inf, b.dtype)
-    r0_norm = jnp.sqrt(r2_0)
+        z = M(r) if M is not None else r
+        rz0 = _dot(r, z)
+        r2_0 = _dot(r, r)
+        r_max0 = _maxabs(r)
+        err0 = _maxabs(x - u_true) if u_true is not None else jnp.asarray(jnp.inf, b.dtype)
+        r0_norm = jnp.sqrt(r2_0)
 
-    state = CGState(
-        x=x,
-        r=r,
-        z=z,
-        k=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
-        reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
-        rz=rz0,
-        r_norm2=r2_0,
-        prec_max=jnp.asarray(jnp.inf, b.dtype),
-        r_max=r_max0,
-        err_max=err0,
-        r0_norm=r0_norm,
-    )
+        state = CGState(
+            x=x,
+            r=r,
+            z=z,
+            k=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False),
+            reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
+            rz=rz0,
+            r_norm2=r2_0,
+            prec_max=jnp.asarray(jnp.inf, b.dtype),
+            r_max=r_max0,
+            err_max=err0,
+            r0_norm=r0_norm,
+        )
 
     history: List[Tuple[float, ...]] = []
 
@@ -277,7 +290,14 @@ def cg_solve(
             history.append((k, prec, rmax, emax, rn))
 
     # Iteration-0 callback (reference msg_solver.cpp:75-77).
-    fire(0, math.inf, float(r_max0), float(err0), float(r0_norm))
+    k = int(state.k)
+    fire(
+        k,
+        math.inf if k == 0 else float(state.prec_max),
+        float(r_max0),
+        float(err0),
+        float(r0_norm) if k == 0 else math.sqrt(max(float(r2_0), 0.0)),
+    )
 
     if float(r2_0) == 0.0:  # x0 already exact; avoid 0/0 in the loop
         return _make_result(state, StopReason.RESIDUAL, True, r0_norm, t0, history, opts)
@@ -288,7 +308,6 @@ def cg_solve(
 
     interrupted = False
     reason = StopReason.ITERATIONS
-    k = 0
     while k < max_iter:
         if opts.stop_requested is not None and opts.stop_requested():
             # reference msg_solver.cpp:82-87: checked at iteration top
@@ -311,6 +330,8 @@ def cg_solve(
             float(state.err_max),
             float(state.r_norm2),
         )
+        if opts.state_callback is not None:
+            opts.state_callback(state)
         if done:
             reason = StopReason(reason_code)
             break

@@ -1,0 +1,82 @@
+"""CLI and visualization tests (CLI drives everything end-to-end)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from iterative_solvers_tpu.cli import main
+
+
+def test_cli_solve_full(tmp_path, capsys):
+    plots = str(tmp_path / "plots")
+    rc = main([
+        "solve",
+        "--nx", "16", "--ny", "16",
+        "--save", str(tmp_path / "r.txt"),
+        "--save-npz", str(tmp_path / "r.npz"),
+        "--save-matrix", str(tmp_path / "m.txt"),
+        "--save-3d", str(tmp_path / "s.dat"),
+        "--plots", plots,
+        "--progress-every", "10",
+    ])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "Converged:               yes" in out.out
+    assert "iter     10" in out.err  # progress cadence plumbed through
+    for f in ("r.txt", "r.npz", "m.txt", "s.dat"):
+        assert (tmp_path / f).exists()
+    for f in (
+        "convergence.png",
+        "scatter_solution.png",
+        "scatter_error.png",
+        "scatter_residual.png",
+        "heatmap_error.png",
+        "surface.png",
+    ):
+        assert os.path.getsize(os.path.join(plots, f)) > 1000
+
+
+def test_cli_nonconverged_exit_code(capsys):
+    rc = main(["solve", "--nx", "16", "--ny", "16", "--max-iter", "3",
+               "--eps-residual", "1e-300", "--eps-precision", "-1", "--quiet"])
+    assert rc == 2
+
+
+def test_cli_rect_precond_sparse(capsys):
+    rc = main(["solve", "--nx", "20", "--ny", "14", "--shape", "rect",
+               "--operator", "sparse", "--precond", "chebyshev:4", "--quiet"])
+    assert rc == 0
+
+
+def test_cli_version(capsys):
+    assert main(["version"]) == 0
+    assert capsys.readouterr().out.strip().count(".") == 2
+
+
+def test_cli_no_command(capsys):
+    assert main([]) == 1
+
+
+def test_viz_rejects_missing_quantity(tmp_path):
+    from iterative_solvers_tpu import viz
+    from iterative_solvers_tpu.api import DirichletSolver, SolverResults
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    s = DirichletSolver(nx=8, ny=8, stop=StopConfig(max_iterations=5).disable_all_but_iterations())
+    res = s.solve()
+    with pytest.raises(ValueError):
+        viz.scatter_plot(res, str(tmp_path / "x.png"), "nonsense")
+
+
+def test_heatmap_stats(tmp_path):
+    from iterative_solvers_tpu import viz
+    from iterative_solvers_tpu.api import DirichletSolver
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    s = DirichletSolver(nx=12, ny=12, stop=StopConfig(eps_precision=-1, eps_residual=1e-7))
+    res = s.solve()
+    dom = s.domain
+    stats = viz.heatmap(res, dom, str(tmp_path / "h.png"), "error")
+    assert 0 <= stats["min"] <= stats["avg"] <= stats["max"]
+    assert stats["max"] == pytest.approx(res.error_norm, rel=1e-9)
