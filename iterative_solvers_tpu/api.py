@@ -49,10 +49,13 @@ class SolverResults:
     # problem metadata (for save/load round-trips)
     nx: int = 0
     ny: int = 0
-    bounds: tuple = (0.0, 1.0, 0.0, 1.0)  # (x0, x1, y0, y1)
+    bounds: tuple = (0.0, 1.0, 0.0, 1.0)  # (x0, x1, y0, y1[, z0, z1])
     eps: float = 1e-6
     max_iterations: int = 10000
     history: Optional[np.ndarray] = None
+    # 3D extension (empty/0 for 2D problems)
+    z_coords: Optional[np.ndarray] = None
+    nz: int = 0
 
     def solution_field(self, domain) -> np.ndarray:
         """Scatter the compacted solution back onto the full grid
@@ -123,6 +126,8 @@ class DirichletSolver:
 
     def set_grid(self, nx: int, ny: int, x0=None, x1=None, y0=None, y1=None) -> None:
         d = self.domain
+        if isinstance(d, Domain3D):
+            raise ValueError("set_grid is 2D-only; build a new Domain3D instead")
         dom = Domain2D(
             nx=nx,
             ny=ny,
@@ -228,7 +233,9 @@ class DirichletSolver:
         else:
             tru = np.zeros(0)
             err = np.zeros(0)
-        xs, ys = ordering.node_coordinates(dom)
+        coords = ordering.node_coordinates(dom)
+        xs, ys = coords[0], coords[1]
+        zs = coords[2] if len(coords) == 3 else None
         eps_active = [
             e
             for e in (
@@ -255,8 +262,14 @@ class DirichletSolver:
             elapsed_s=res.elapsed_s,
             nx=dom.nx,
             ny=dom.ny,
-            bounds=(dom.x0, dom.x1, dom.y0, dom.y1),
+            bounds=(
+                (dom.x0, dom.x1, dom.y0, dom.y1, dom.z0, dom.z1)
+                if isinstance(dom, Domain3D)
+                else (dom.x0, dom.x1, dom.y0, dom.y1)
+            ),
             eps=min(eps_active) if eps_active else -1.0,
             max_iterations=self.stop.max_iterations,
             history=res.history,
+            z_coords=zs,
+            nz=getattr(dom, "nz", 0),
         )

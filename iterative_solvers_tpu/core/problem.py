@@ -44,13 +44,19 @@ def _reference_u(x, y):
 
 
 def _reference_f3(x, y, z):
-    """3D manufactured source for u = sin(πx)sin(πy)sin(πz): Δu = -3π²u."""
-    return -3.0 * math.pi**2 * _reference_u3(x, y, z)
+    """3D manufactured source for u = exp(xyz): Δu = ((yz)²+(xz)²+(xy)²)·u.
+
+    Deliberately NOT an eigenfunction of the discrete Laplacian (a sin-product
+    would make CG converge in one iteration — a trivial Krylov space that
+    masks solver bugs) and has nonzero Dirichlet data, exercising BC
+    elimination."""
+    u = _reference_u3(x, y, z)
+    return ((y * z) ** 2 + (x * z) ** 2 + (x * y) ** 2) * u
 
 
 def _reference_u3(x, y, z):
     xp = jnp if isinstance(x, jnp.ndarray) else np
-    return xp.sin(math.pi * x) * xp.sin(math.pi * y) * xp.sin(math.pi * z)
+    return xp.exp(x * y * z)
 
 
 @dataclass(frozen=True)

@@ -157,10 +157,10 @@ class PallasStencilOperator:
     @staticmethod
     def from_domain(domain, dtype=None, block_rows: Optional[int] = None,
                     interpret: Optional[bool] = None) -> "PallasStencilOperator":
-        if domain.shape not in ("gamma", "rect"):
+        if getattr(domain, "shape", None) not in ("gamma", "rect"):
             raise ValueError(
-                "PallasStencilOperator supports gamma/rect domains "
-                "(algebraic masks); use StencilOperator for custom masks"
+                "PallasStencilOperator supports 2D gamma/rect domains "
+                "(algebraic masks); use StencilOperator for custom masks and 3D"
             )
         h, w = domain.grid_shape
         wp = _round_up(w, 128)

@@ -1,0 +1,140 @@
+"""Build-on-demand ctypes loader for the native assembly engine.
+
+Compiles ``assembly.cpp`` with the system C++ compiler into a shared library
+cached alongside the package (rebuilt when the source changes, detected by
+mtime+size key). No pybind11 dependency — plain C ABI + ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "assembly.cpp")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+_SHAPE_CODES = {"rect": 0, "gamma": 1}
+
+
+def _cache_path() -> str:
+    st = os.stat(_SRC)
+    key = f"{int(st.st_mtime)}_{st.st_size}"
+    cache_dir = os.environ.get(
+        "ISTPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "iterative_solvers_tpu"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"libassembly_{key}.so")
+
+
+def _build(so_path: str) -> None:
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", so_path + ".tmp"]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    os.replace(so_path + ".tmp", so_path)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        try:
+            so = _cache_path()
+            if not os.path.exists(so):
+                _build(so)
+            lib = ctypes.CDLL(so)
+            i64 = ctypes.c_int64
+            i32 = ctypes.c_int
+            f64 = ctypes.c_double
+            pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            pf64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.ist_num_unknowns.restype = i64
+            lib.ist_num_unknowns.argtypes = [i32, i32, i32]
+            lib.ist_ranks.restype = None
+            lib.ist_ranks.argtypes = [i32, i32, i32, pi64]
+            lib.ist_assemble_csr.restype = i64
+            lib.ist_assemble_csr.argtypes = [i32, i32, i32, f64, f64, f64, i64, pi64, pi64, pf64]
+            lib.ist_node_coords.restype = None
+            lib.ist_node_coords.argtypes = [i32, i32, i32, f64, f64, f64, f64, pf64, pf64]
+            _lib = lib
+        except Exception as e:  # no compiler / build error: fall back silently
+            print(f"iterative_solvers_tpu: native assembly unavailable ({e}); "
+                  "using NumPy fallback", file=sys.stderr)
+            _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _shape_code(domain) -> Optional[int]:
+    return _SHAPE_CODES.get(getattr(domain, "shape", None))
+
+
+def num_unknowns_native(domain) -> Optional[int]:
+    lib = _load()
+    code = _shape_code(domain)
+    if lib is None or code is None:
+        return None
+    return int(lib.ist_num_unknowns(domain.nx, domain.ny, code))
+
+
+def assemble_csr_native(domain) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """(row_map, entries, values) or None when unsupported (custom masks, 3D,
+    no compiler)."""
+    lib = _load()
+    code = _shape_code(domain)
+    if lib is None or code is None or not hasattr(domain, "nx") or hasattr(domain, "nz"):
+        return None
+    n = int(lib.ist_num_unknowns(domain.nx, domain.ny, code))
+    cap = 5 * n
+    row_map = np.zeros(n + 1, dtype=np.int64)
+    entries = np.zeros(cap, dtype=np.int64)
+    values = np.zeros(cap, dtype=np.float64)
+    nnz = int(
+        lib.ist_assemble_csr(
+            domain.nx,
+            domain.ny,
+            code,
+            float(domain.coeff_diag),
+            float(domain.coeff_x),
+            float(domain.coeff_y),
+            cap,
+            row_map,
+            entries,
+            values,
+        )
+    )
+    if nnz < 0:
+        return None
+    return row_map, entries[:nnz], values[:nnz]
+
+
+def node_coords_native(domain) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = _load()
+    code = _shape_code(domain)
+    if lib is None or code is None or hasattr(domain, "nz"):
+        return None
+    n = int(lib.ist_num_unknowns(domain.nx, domain.ny, code))
+    xs = np.zeros(n, dtype=np.float64)
+    ys = np.zeros(n, dtype=np.float64)
+    lib.ist_node_coords(
+        domain.nx, domain.ny, code,
+        float(domain.x0), float(domain.x1), float(domain.y0), float(domain.y1),
+        xs, ys,
+    )
+    return xs, ys

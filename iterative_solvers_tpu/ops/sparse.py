@@ -82,10 +82,25 @@ def assemble_coo(domain, dtype=np.float64):
     return rows[order], cols[order], vals[order]
 
 
-def assemble_csr(domain, dtype=np.float64) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def assemble_csr(domain, dtype=np.float64, backend: str = "auto") -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """CSR (row_map, entries, values) of the compacted system matrix —
     byte-compatible content with the reference's finalize_matrix output
-    (solver/grid_system.cpp:122-155) up to within-row entry order."""
+    (solver/grid_system.cpp:122-155) up to within-row entry order.
+
+    ``backend='auto'`` uses the native C++ engine (native/assembly.cpp) for
+    rect/gamma 2D domains and falls back to the vectorized NumPy builder for
+    custom masks and 3D; 'native' requires the engine, 'numpy' skips it."""
+    if backend in ("auto", "native") and not isinstance(domain, Domain3D):
+        from iterative_solvers_tpu.native import assemble_csr_native
+
+        out = assemble_csr_native(domain)
+        if out is not None:
+            row_map, entries, values = out
+            return row_map, entries, values.astype(dtype, copy=False)
+        if backend == "native":
+            raise RuntimeError("native assembly unavailable for this domain")
+    elif backend == "native":
+        raise RuntimeError("native assembly does not support 3D domains yet")
     rows, cols, vals = assemble_coo(domain, dtype)
     n = domain.num_unknowns
     row_map = np.zeros(n + 1, dtype=np.int64)

@@ -62,6 +62,31 @@ def _halo_apply_2d(x, interior, cd: float, cx: float, cy: float, ay: str, ax: st
     return jnp.where(interior, y, 0)
 
 
+def _halo_apply_3d(x, interior, cd: float, cx: float, cy: float, cz: float,
+                   az: str, ax: str):
+    """Per-block 7-point update; z-planes exchanged over mesh axis ``az``,
+    x-columns over ``ax``; the y dimension is unsharded (local)."""
+    xm = jnp.where(interior, x, 0)
+
+    plane_above = lax.ppermute(xm[-1:, :, :], az, perm=_fwd(az))
+    plane_below = lax.ppermute(xm[:1, :, :], az, perm=_bwd(az))
+    up = jnp.concatenate([plane_above, xm[:-1, :, :]], axis=0)  # value at iz-1
+    dn = jnp.concatenate([xm[1:, :, :], plane_below], axis=0)
+
+    col_left = lax.ppermute(xm[:, :, -1:], ax, perm=_fwd(ax))
+    col_right = lax.ppermute(xm[:, :, :1], ax, perm=_bwd(ax))
+    lf = jnp.concatenate([col_left, xm[:, :, :-1]], axis=2)  # value at ix-1
+    rt = jnp.concatenate([xm[:, :, 1:], col_right], axis=2)
+
+    # y-neighbors are local (zero-padded at block edges == global boundary)
+    zeros_y = jnp.zeros_like(xm[:, :1, :])
+    yl = jnp.concatenate([zeros_y, xm[:, :-1, :]], axis=1)
+    yr = jnp.concatenate([xm[:, 1:, :], zeros_y], axis=1)
+
+    y = cd * xm + cx * (lf + rt) + cy * (yl + yr) + cz * (up + dn)
+    return jnp.where(interior, y, 0)
+
+
 @dataclass(frozen=True, eq=False)
 class ShardedStencilOperator:
     """Matrix-free masked 5-point operator over a block-sharded field.
@@ -72,20 +97,26 @@ class ShardedStencilOperator:
 
     mesh: Mesh
     interior: jnp.ndarray  # padded + sharded bool mask
-    coeffs: Tuple[float, float, float]
-    grid_shape: Tuple[int, int]  # unpadded shape, for cropping
+    coeffs: Tuple[float, ...]  # (cd, cx, cy[, cz])
+    grid_shape: Tuple[int, ...]  # unpadded shape, for cropping
 
     @staticmethod
-    def from_domain(domain: Domain2D, mesh: Mesh, dtype=None) -> "ShardedStencilOperator":
+    def from_domain(domain, mesh: Mesh, dtype=None) -> "ShardedStencilOperator":
         interior = mesh_lib.shard_field(jnp.asarray(domain.interior), mesh)
         coeffs = (domain.coeff_diag, domain.coeff_x, domain.coeff_y)
+        if hasattr(domain, "coeff_z"):
+            coeffs = coeffs + (domain.coeff_z,)
         return ShardedStencilOperator(mesh, interior, coeffs, domain.grid_shape)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ay, ax = self.mesh.axis_names[0], self.mesh.axis_names[-1]
-        spec = mesh_lib.field_spec(self.mesh)
-        fn = partial(_halo_apply_2d, cd=self.coeffs[0], cx=self.coeffs[1],
-                     cy=self.coeffs[2], ay=ay, ax=ax)
+        spec = mesh_lib.field_spec(self.mesh, x.ndim)
+        if len(self.coeffs) == 4:
+            fn = partial(_halo_apply_3d, cd=self.coeffs[0], cx=self.coeffs[1],
+                         cy=self.coeffs[2], cz=self.coeffs[3], az=ay, ax=ax)
+        else:
+            fn = partial(_halo_apply_2d, cd=self.coeffs[0], cx=self.coeffs[1],
+                         cy=self.coeffs[2], ay=ay, ax=ax)
         return jax.shard_map(
             fn,
             mesh=self.mesh,
@@ -106,4 +137,6 @@ class ShardedStencilOperator:
     def nnz(self) -> int:
         from iterative_solvers_tpu.ops.stencil import StencilOperator
 
-        return StencilOperator(jnp.asarray(self.interior), self.coeffs).nnz()
+        return StencilOperator(
+            jnp.asarray(self.interior), self.coeffs, ndim=len(self.grid_shape)
+        ).nnz()

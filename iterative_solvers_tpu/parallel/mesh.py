@@ -79,15 +79,20 @@ def crop_field(field, grid_shape: Tuple[int, ...]):
     return field[sl]
 
 
-def field_spec(mesh: Mesh) -> P:
+def field_spec(mesh: Mesh, ndim: int = 2) -> P:
+    """Partition the leading and trailing field dims over the mesh axes
+    (2D: rows/cols; 3D: z-planes/x-columns with y unsharded)."""
     axes = mesh.axis_names
-    return P(axes[0], axes[-1]) if len(axes) >= 2 else P(axes[0])
+    if len(axes) < 2:
+        return P(axes[0])
+    middle = (None,) * (ndim - 2)
+    return P(axes[0], *middle, axes[-1])
 
 
 def shard_field(field, mesh: Mesh, spec: Optional[P] = None):
     """Pad + place a full-grid field onto the mesh, block-partitioned."""
-    spec = spec or field_spec(mesh)
     f = pad_field(jnp.asarray(field), mesh)
+    spec = spec or field_spec(mesh, f.ndim)
     return jax.device_put(f, NamedSharding(mesh, spec))
 
 

@@ -28,13 +28,17 @@ def cg_report(res) -> str:
 def results_report(results) -> str:
     """Report for a full DirichletSolver run (reference
     qt_gui/src/mainwindow.cpp:751-793 content)."""
-    x0, x1, y0, y1 = results.bounds
+    b = results.bounds
+    domain_str = " x ".join(f"[{b[i]}, {b[i + 1]}]" for i in range(0, len(b), 2))
+    grid_str = f"{results.nx} x {results.ny}" + (
+        f" x {results.nz}" if getattr(results, "nz", 0) else ""
+    )
     lines = [
         "=== Dirichlet-Poisson solve report ===",
         "",
         "Problem:",
-        f"  Grid:                    {results.nx} x {results.ny} intervals",
-        f"  Domain:                  [{x0}, {x1}] x [{y0}, {y1}]",
+        f"  Grid:                    {grid_str} intervals",
+        f"  Domain:                  {domain_str}",
         f"  Unknowns:                {results.solution.size}",
         "",
         "Solver:",

@@ -30,28 +30,32 @@ _SECTIONS = [
 
 
 def save_results(path: str, results, solver_name: str = "MSG (conjugate gradient, TPU)") -> None:
-    x0, x1, y0, y1 = results.bounds
     with open(path, "w") as f:
         f.write("PARAMETERS\n")
-        f.write(f"{results.nx} {results.ny}\n")
-        f.write(f"{x0} {x1} {y0} {y1}\n")
+        dims = f"{results.nx} {results.ny}"
+        if getattr(results, "nz", 0):
+            dims += f" {results.nz}"
+        f.write(dims + "\n")
+        f.write(" ".join(str(v) for v in results.bounds) + "\n")
         f.write(f"{solver_name}\n")
         f.write("CONVERGENCE\n")
         f.write(f"{results.iterations}\n")
         f.write(f"{1 if results.converged else 0}\n")
         f.write(f"{results.stop_reason.name}\n")
         f.write(f"{results.residual_norm:.17e} {results.error_norm:.17e}\n")
-        for name, vec in zip(
-            _SECTIONS,
-            (
-                results.solution,
-                results.true_solution,
-                results.residual,
-                results.error,
-                results.x_coords,
-                results.y_coords,
-            ),
-        ):
+        vectors = [
+            results.solution,
+            results.true_solution,
+            results.residual,
+            results.error,
+            results.x_coords,
+            results.y_coords,
+        ]
+        names = list(_SECTIONS)
+        if getattr(results, "z_coords", None) is not None:
+            names.append("Z_COORDS")
+            vectors.append(results.z_coords)
+        for name, vec in zip(names, vectors):
             f.write(f"{name}\n")
             for v in np.asarray(vec).ravel():
                 f.write(f"{v:.17e}\n")
@@ -70,8 +74,10 @@ def load_results(path: str):
             raise ValueError(f"{path}:{i + 1}: expected section {name!r}, got {lines[i]!r}")
 
     expect(0, "PARAMETERS")
-    nx, ny = (int(v) for v in lines[1].split())
-    x0, x1, y0, y1 = (float(v) for v in lines[2].split())
+    dims = [int(v) for v in lines[1].split()]
+    nx, ny = dims[0], dims[1]
+    nz = dims[2] if len(dims) > 2 else 0
+    bounds = tuple(float(v) for v in lines[2].split())
     solver_name = lines[3]
     expect(4, "CONVERGENCE")
     iterations = int(lines[5])
@@ -83,13 +89,14 @@ def load_results(path: str):
         reason = StopReason.ITERATIONS
     residual_norm, error_norm = (float(v) for v in lines[8].split())
 
+    all_sections = _SECTIONS + ["Z_COORDS"]
     vecs = {}
     i = 9
     current: Optional[str] = None
     buf: List[float] = []
     while i <= len(lines):
         line = lines[i] if i < len(lines) else None
-        if line is None or line in _SECTIONS:
+        if line is None or line in all_sections:
             if current is not None:
                 vecs[current] = np.asarray(buf)
             if line is None:
@@ -118,7 +125,9 @@ def load_results(path: str):
         elapsed_s=0.0,
         nx=nx,
         ny=ny,
-        bounds=(x0, x1, y0, y1),
+        nz=nz,
+        bounds=bounds,
+        z_coords=vecs.get("Z_COORDS"),
     ), solver_name
 
 
