@@ -39,6 +39,59 @@ def _hbm_bandwidth_bytes(device_kind: str) -> float:
     return 819e9  # conservative default
 
 
+def _bench_cg_fused(n: int) -> None:
+    """Alternative metric (BENCH_MODE=cg): fused-CG iteration rate. Reported
+    as effective nnz/s of the two stencil evaluations per iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.core.domain import Domain2D
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.kernels.cg_fused import FusedCGEngine, _fused_chunk
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+    from iterative_solvers_tpu.solvers.cg import CGState
+    from iterative_solvers_tpu.solvers.stopping import StopConfig, StopReason
+
+    dom = Domain2D(nx=n, ny=n)
+    op = PallasStencilOperator.from_domain(dom)
+    b = op.pad(PoissonProblem.manufactured(dom).rhs_field(jnp.float32))
+    engine = FusedCGEngine(op)
+    stop = StopConfig(max_iterations=10**9).disable_all_but_iterations()
+    r2_0 = jnp.sum(b * b)
+    state = CGState(
+        x=jnp.zeros_like(b), r=b, z=jnp.zeros_like(b),
+        k=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+        reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
+        rz=jnp.asarray(1.0, jnp.float32), r_norm2=r2_0,
+        prec_max=jnp.asarray(jnp.inf, jnp.float32), r_max=jnp.max(jnp.abs(b)),
+        err_max=jnp.asarray(jnp.inf, jnp.float32), r0_norm=jnp.sqrt(r2_0),
+    )
+
+    def run(k):
+        s = _fused_chunk(engine, stop, state, None, jnp.asarray(k, jnp.int32))
+        return float(s.r_norm2)
+
+    run(2)
+    t = {}
+    for K in (5, 25):
+        t0 = time.perf_counter()
+        run(K)
+        t[K] = time.perf_counter() - t0
+    per = (t[25] - t[5]) / 20
+    nnz = StencilOperator.from_domain(dom).nnz()
+    print(
+        json.dumps(
+            {
+                "metric": f"fused_cg_iteration_ms_{n}x{n}",
+                "value": per * 1e3,
+                "unit": "ms/iteration",
+                "vs_baseline": 6.90 / (per * 1e3),  # vs the XLA-fused jnp path
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -50,6 +103,9 @@ def main() -> None:
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     n = int(os.environ.get("BENCH_N", "8192" if on_tpu else "256"))
+    if os.environ.get("BENCH_MODE") == "cg":
+        _bench_cg_fused(n)
+        return
 
     dom = Domain2D(nx=n, ny=n)
     op = PallasStencilOperator.from_domain(dom)

@@ -157,7 +157,7 @@ class DirichletSolver:
         if self._op is None:
             if self.operator_kind == "sparse":
                 self._op = SparseOperator.from_domain(self.domain, self.dtype)
-            elif self.operator_kind == "pallas":
+            elif self.operator_kind in ("pallas", "fused"):
                 from iterative_solvers_tpu.kernels.stencil_pallas import (
                     PallasStencilOperator,
                 )
@@ -205,7 +205,12 @@ class DirichletSolver:
             record_history=record_history,
             state_callback=state_callback,
         )
-        res = cg_solve(A, b, u_true=u, options=opts)
+        if self.operator_kind == "fused":
+            from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+
+            res = fused_cg_solve(A, b, u_true=u, options=opts)
+        else:
+            res = cg_solve(A, b, u_true=u, options=opts)
         results = self._assemble_results(res, b, u)
         if completion_callback is not None:
             # reference completion callback (solver.hpp:30, dirichlet_solver.cpp:126-128)
@@ -216,7 +221,11 @@ class DirichletSolver:
         dom = self.domain
         A = self._op
         x = res.x
-        r = b - A(x)  # final residual via a fresh apply (dirichlet_solver.cpp:147-161)
+        # final residual via a fresh apply (dirichlet_solver.cpp:147-161)
+        if self.operator_kind == "fused":
+            r = b - A.crop(A(A.pad(x)))  # fused returns x already cropped
+        else:
+            r = b - A(x)
         if self.operator_kind == "pallas":
             x, u, r = A.crop(x), (A.crop(u) if u is not None else None), A.crop(r)
         if self.operator_kind == "sparse":

@@ -41,7 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--y0", type=float, default=1.0)
     s.add_argument("--y1", type=float, default=2.0)
     s.add_argument("--shape", choices=["gamma", "rect"], default="gamma")
-    s.add_argument("--operator", choices=["stencil", "sparse", "pallas"], default="stencil")
+    s.add_argument(
+        "--operator",
+        choices=["stencil", "sparse", "pallas", "fused"],
+        default="stencil",
+        help="stencil: jnp matrix-free; sparse: CSR; pallas: pallas stencil + "
+        "standard CG; fused: fully fused pallas CG (f32, fastest on TPU)",
+    )
     s.add_argument("--precond", default=None, help="jacobi | chebyshev[:degree]")
     s.add_argument("--beta", choices=["msg", "fr"], default="msg", help="CG beta recurrence")
     s.add_argument("--eps-precision", type=float, default=1e-6,

@@ -1,0 +1,362 @@
+"""Fully fused Pallas MSG-CG engine — two kernels per iteration.
+
+This is the BASELINE.json target "msg_solver CG loop → fused Pallas
+SpMV+axpy+dot pipeline". The classic iteration (reference
+solver/msg_solver.cpp:80-184) touches each vector many times per iteration;
+here the whole iteration is exactly two HBM sweeps:
+
+- **K1 (direction + SpMV + dots, read-only)**: streams r and z_prev once,
+  forms the new direction ``z_k = r + β·z_prev`` *in registers* (deferred
+  from the previous iteration, when β was not yet known), applies the masked
+  5-point stencil to it in registers, and emits only the per-panel partial
+  reductions for (r,z), (Az,z), ‖z‖∞ plus the two z_k halo edge rows of each
+  panel into a small side buffer. Az is never written to HBM.
+  Traffic ≈ 8 B/node (pure read streams).
+- **K2 (recompute + updates + dots, in-place)**: streams x, r, z_prev once;
+  recomputes z_k AND the stencil ``A z_k`` in registers (panel halo rows come
+  from K1's side buffer, so no overlapping halo reads), then writes
+  ``x+αz``, ``r−αAz`` and ``z_k`` **in place** over x, r, z_prev via
+  matched-index ``input_output_aliases`` (measured ~1.9× faster than fresh
+  buffers on v5e, NOTES_PERF.md — and legal exactly because every read is
+  block-local). Emits partials for ‖r‖², ‖r‖∞ (and ‖x−u‖∞ when a true
+  solution is given). Traffic ≈ 24 B/node at in-place bandwidth.
+
+The stencil is evaluated twice per iteration (VPU flops are free here — the
+iteration is bandwidth-bound), buying a 40→32 B/node/iteration traffic
+reduction over the store-Az variant.
+
+All stop-criterion norms are produced on the way — the multi-criterion stop
+bundle runs on scalars inside the same `lax.while_loop`, so the engine plugs
+into the standard chunked driver (callbacks, interrupt, checkpointing)
+through ``CGOptions.chunk_fn``. f32 only (Mosaic has no f64); per-panel
+partial sums keep reduction error at the f32 tree-reduction level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from iterative_solvers_tpu.kernels.stencil_pallas import (
+    PallasStencilOperator,
+    _interior_pred,
+)
+from iterative_solvers_tpu.solvers.cg import CGOptions, CGResult, CGState, cg_solve
+from iterative_solvers_tpu.solvers.stopping import StopConfig, StopReason
+
+LANES = 128
+
+
+def _specs(by: int, wp: int, hp: int):
+    main = pl.BlockSpec((by, wp), lambda i: (i, 0))
+    up = pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * (by // 8) - 1, 0), 0))
+    dn = pl.BlockSpec(
+        (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, hp // 8 - 1), 0)
+    )
+    scal = pl.BlockSpec((1, LANES), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    # per-panel partial reductions: (1, 8, LANES) blocks satisfy the (8, 128)
+    # tiling rule with a leading grid dimension
+    part = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0))
+    return main, up, dn, scal, part
+
+
+def _mask_at(pred, row0, shape):
+    ri = lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    ci = lax.broadcasted_iota(jnp.int32, shape, 1)
+    return pred(ri, ci)
+
+
+def _stencil_regs(zk, up_row, dn_row, cd, cx, cy, wp, mask):
+    """A·z_k entirely in registers, given the two masked halo rows."""
+    up = jnp.concatenate([up_row, zk[:-1, :]], axis=0)
+    dn = jnp.concatenate([zk[1:, :], dn_row], axis=0)
+    y = cd * zk + cx * (pltpu.roll(zk, 1, 1) + pltpu.roll(zk, wp - 1, 1)) \
+        + cy * (up + dn)
+    return jnp.where(mask, y, 0.0)
+
+
+def _make_k1(nx, ny, cd, cx, cy, by, wp, hp, mask_mode):
+    """(r, r_up, r_dn, z, z_up, z_dn, beta)
+    -> (zk_halo_side, rz_part, azz_part, zmax_part). Read-only on fields."""
+    pred = _interior_pred(mask_mode, nx, ny)
+
+    def kernel(r_ref, rup_ref, rdn_ref, z_ref, zup_ref, zdn_ref, s_ref,
+               side_ref, rz_ref, azz_ref, zmax_ref):
+        i = pl.program_id(0)
+        row0 = i * by
+        beta = s_ref[0, 0]
+        r = r_ref[...]
+        zk = r + beta * z_ref[...]
+        # Halo rows of z_k, reconstructed from the r/z halo groups and
+        # re-masked with the *virtual* row's interior mask (handles the
+        # clamped garbage rows at the grid edges).
+        up_row = rup_ref[-1:, :] + beta * zup_ref[-1:, :]
+        dn_row = rdn_ref[:1, :] + beta * zdn_ref[:1, :]
+        up_row = jnp.where(_mask_at(pred, row0 - 1, (1, wp)), up_row, 0.0)
+        dn_row = jnp.where(_mask_at(pred, row0 + by, (1, wp)), dn_row, 0.0)
+        az = _stencil_regs(zk, up_row, dn_row, cd, cx, cy, wp,
+                           _mask_at(pred, row0, (by, wp)))
+        # Stash this panel's z_k halo rows for K2 (rows 0/1 of an 8-row tile).
+        side_ref[...] = jnp.concatenate(
+            [up_row, dn_row, jnp.zeros((6, wp), az.dtype)], axis=0
+        )[None]
+        rz_ref[...] = jnp.full((1, 8, LANES), jnp.sum(r * zk), az.dtype)
+        azz_ref[...] = jnp.full((1, 8, LANES), jnp.sum(az * zk), az.dtype)
+        zmax_ref[...] = jnp.full((1, 8, LANES), jnp.max(jnp.abs(zk)), az.dtype)
+
+    return kernel
+
+
+def _make_k2(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u):
+    """(x, r, z_prev, side[, u], scalars) -> (x', r', z_k, r2_p, rmax_p[, err_p])
+    with x/r/z written in place (aliases {0:0, 1:1, 2:2}); Az recomputed in
+    registers from z_k and the side halo rows — every field read is
+    block-local, which is what makes the in-place aliasing race-free."""
+    pred = _interior_pred(mask_mode, nx, ny)
+
+    def kernel(x_ref, r_ref, z_ref, side_ref, *rest):
+        if has_u:
+            u_ref, s_ref, xo_ref, ro_ref, zo_ref, r2_ref, rmax_ref, err_ref = rest
+        else:
+            s_ref, xo_ref, ro_ref, zo_ref, r2_ref, rmax_ref = rest
+        i = pl.program_id(0)
+        row0 = i * by
+        alpha = s_ref[0, 0]
+        beta = s_ref[0, 1]
+        r = r_ref[...]
+        zk = r + beta * z_ref[...]
+        az = _stencil_regs(
+            zk,
+            side_ref[0, 0:1, :],
+            side_ref[0, 1:2, :],
+            cd, cx, cy, wp,
+            _mask_at(pred, row0, (by, wp)),
+        )
+        xn = x_ref[...] + alpha * zk
+        rn = r - alpha * az
+        xo_ref[...] = xn
+        ro_ref[...] = rn
+        zo_ref[...] = zk
+        r2_ref[...] = jnp.full((1, 8, LANES), jnp.sum(rn * rn), rn.dtype)
+        rmax_ref[...] = jnp.full((1, 8, LANES), jnp.max(jnp.abs(rn)), rn.dtype)
+        if has_u:
+            err_ref[...] = jnp.full(
+                (1, 8, LANES), jnp.max(jnp.abs(xn - u_ref[...])), rn.dtype
+            )
+
+    return kernel
+
+
+@dataclass(frozen=True, eq=False)
+class FusedCGEngine:
+    """Compiled fused-iteration runner for one padded grid geometry."""
+
+    op: PallasStencilOperator
+
+    def _call_k1(self, r, z, beta):
+        op = self.op
+        hp, wp = op.padded_shape
+        by = op.block_rows
+        cd, cx, cy = op.coeffs
+        main, up, dn, scal, part = _specs(by, wp, hp)
+        g = hp // by
+        dtype = r.dtype
+        kernel = _make_k1(op.nx, op.ny, cd, cx, cy, by, wp, hp, op.mask_mode)
+        scal_in = jnp.full((1, LANES), beta, dtype)
+        side_spec = pl.BlockSpec((1, 8, wp), lambda i: (i, 0, 0))
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[main, up, dn, main, up, dn, scal],
+            out_specs=(side_spec, part, part, part),
+            out_shape=(
+                jax.ShapeDtypeStruct((g, 8, wp), dtype),
+                jax.ShapeDtypeStruct((g, 8, LANES), dtype),
+                jax.ShapeDtypeStruct((g, 8, LANES), dtype),
+                jax.ShapeDtypeStruct((g, 8, LANES), dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=op.interpret,
+        )(r, r, r, z, z, z, scal_in)
+
+    def _call_k2(self, x, r, z, side, u, alpha, beta):
+        op = self.op
+        hp, wp = op.padded_shape
+        by = op.block_rows
+        cd, cx, cy = op.coeffs
+        main, up, dn, scal, part = _specs(by, wp, hp)
+        g = hp // by
+        dtype = r.dtype
+        has_u = u is not None
+        kernel = _make_k2(op.nx, op.ny, cd, cx, cy, by, wp, op.mask_mode, has_u)
+        scal_in = jnp.zeros((1, LANES), dtype).at[0, 0].set(alpha).at[0, 1].set(beta)
+        side_spec = pl.BlockSpec((1, 8, wp), lambda i: (i, 0, 0))
+        out_shape = [
+            jax.ShapeDtypeStruct((hp, wp), dtype),
+            jax.ShapeDtypeStruct((hp, wp), dtype),
+            jax.ShapeDtypeStruct((hp, wp), dtype),
+            jax.ShapeDtypeStruct((g, 8, LANES), dtype),
+            jax.ShapeDtypeStruct((g, 8, LANES), dtype),
+        ]
+        out_specs = [main, main, main, part, part]
+        in_specs = [main, main, main, side_spec]
+        args = [x, r, z, side]
+        if has_u:
+            in_specs.append(main)
+            args.append(u)
+            out_shape.append(jax.ShapeDtypeStruct((g, 8, LANES), dtype))
+            out_specs.append(part)
+        in_specs.append(scal)
+        args.append(scal_in)
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            input_output_aliases={0: 0, 1: 1, 2: 2},
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=op.interpret,
+        )(*args)
+
+    def iteration(self, state: CGState, u_true):
+        """One fused MSG iteration. ``state.z`` holds z_{k-1} (the direction
+        update is deferred into K1/K2, where β is finally known)."""
+        beta = jnp.where(state.k == 0, 0.0, state.r_norm2 / state.rz).astype(
+            state.r.dtype
+        )
+        side, rz_p, azz_p, zmax_p = self._call_k1(state.r, state.z, beta)
+        rz = jnp.sum(rz_p[:, 0, 0])
+        azz = jnp.sum(azz_p[:, 0, 0])
+        zmax = jnp.max(zmax_p[:, 0, 0])
+        alpha = rz / azz
+        outs = self._call_k2(state.x, state.r, state.z, side, u_true, alpha, beta)
+        if u_true is not None:
+            xn, rn, zk, r2_p, rmax_p, err_p = outs
+            err_max = jnp.max(err_p[:, 0, 0])
+        else:
+            xn, rn, zk, r2_p, rmax_p = outs
+            err_max = jnp.asarray(jnp.inf, rn.dtype)
+        r2 = jnp.sum(r2_p[:, 0, 0])
+        r_max = jnp.max(rmax_p[:, 0, 0])
+        prec_max = jnp.abs(alpha) * zmax
+        return CGState(
+            x=xn,
+            r=rn,
+            z=zk,
+            k=state.k + 1,
+            done=state.done,
+            reason=state.reason,
+            rz=rz,
+            r_norm2=r2,
+            prec_max=prec_max,
+            r_max=r_max,
+            err_max=err_max,
+            r0_norm=state.r0_norm,
+        )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fused_chunk(engine: FusedCGEngine, stop: StopConfig, state: CGState, u_true, k_stop):
+    false = jnp.asarray(False)
+
+    def body(s: CGState) -> CGState:
+        s = engine.iteration(s, u_true)
+        done_p = (s.prec_max < stop.eps_precision) if stop.eps_precision > 0 else false
+        done_r = (s.r_max < stop.eps_residual) if stop.eps_residual > 0 else false
+        done_e = (
+            (s.err_max < stop.eps_exact_error)
+            if (stop.eps_exact_error > 0 and u_true is not None)
+            else false
+        )
+        done_rel = (
+            (jnp.sqrt(s.r_norm2) < stop.eps_relative * s.r0_norm)
+            if stop.eps_relative > 0
+            else false
+        )
+        reason = jnp.where(
+            done_p,
+            int(StopReason.PRECISION),
+            jnp.where(
+                done_r,
+                int(StopReason.RESIDUAL),
+                jnp.where(
+                    done_e,
+                    int(StopReason.EXACT_ERROR),
+                    jnp.where(
+                        done_rel,
+                        int(StopReason.RELATIVE_RESIDUAL),
+                        int(StopReason.ITERATIONS),
+                    ),
+                ),
+            ),
+        ).astype(jnp.int32)
+        return s._replace(done=done_p | done_r | done_e | done_rel, reason=reason)
+
+    def cond(s: CGState):
+        return (~s.done) & (s.k < k_stop)
+
+    return lax.while_loop(cond, body, state)
+
+
+def fused_cg_solve(
+    op: PallasStencilOperator,
+    b: jnp.ndarray,
+    *,
+    u_true: Optional[jnp.ndarray] = None,
+    options: Optional[CGOptions] = None,
+) -> CGResult:
+    """Solve with the fused engine. ``b``/``u_true`` are *unpadded* full-grid
+    fields; the returned ``CGResult.x`` is cropped back to the grid shape.
+    f32 only (use the standard engine for f64 runs on CPU)."""
+    opts = options or CGOptions()
+    if opts.preconditioner is not None:
+        raise ValueError("fused engine does not support preconditioners yet")
+    if opts.beta_kind != "msg":
+        raise ValueError("fused engine implements the MSG recurrence only")
+
+    dtype = jnp.float32
+    bp = op.pad(jnp.asarray(b, dtype))
+    up_true = op.pad(jnp.asarray(u_true, dtype)) if u_true is not None else None
+
+    r2_0 = jnp.sum(bp * bp)
+    state = CGState(
+        x=jnp.zeros_like(bp),
+        r=bp,
+        z=jnp.zeros_like(bp),  # z_prev convention: z_0 = r + 0*z_prev = r
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
+        rz=jnp.asarray(1.0, dtype),  # unused at k=0 (beta forced to 0)
+        r_norm2=r2_0,
+        prec_max=jnp.asarray(jnp.inf, dtype),
+        r_max=jnp.max(jnp.abs(bp)),
+        err_max=(
+            jnp.max(jnp.abs(up_true)) if up_true is not None else jnp.asarray(jnp.inf, dtype)
+        ),
+        r0_norm=jnp.sqrt(r2_0),
+    )
+
+    engine = FusedCGEngine(op)
+    fused_opts = CGOptions(
+        stop=opts.stop,
+        beta_kind="msg",
+        callback=opts.callback,
+        callback_every=opts.callback_every,
+        chunk_size=opts.chunk_size,
+        stop_requested=opts.stop_requested,
+        record_history=opts.record_history,
+        state_callback=opts.state_callback,
+        chunk_fn=lambda state, u, k_stop: _fused_chunk(engine, opts.stop, state, u, k_stop),
+    )
+    res = cg_solve(lambda v: v, bp, u_true=up_true, options=fused_opts, init_state=state)
+    res.x = op.crop(res.x)
+    return res

@@ -199,6 +199,11 @@ class CGOptions:
     # hook (the reference has no solver-state checkpointing, SURVEY §5; this
     # is the long-run resume capability built on top of the chunked driver).
     state_callback: Optional[Callable[["CGState"], None]] = None
+    # Alternative compiled chunk runner (state, u_true, k_stop) -> state,
+    # e.g. the fused Pallas engine (kernels/cg_fused.py). When set, the
+    # driver's host protocol (callbacks, interrupt, checkpointing, result
+    # assembly) is reused around it unchanged.
+    chunk_fn: Optional[Callable] = None
 
 
 @dataclass
@@ -320,7 +325,12 @@ def cg_solve(
             k_stop = 1 if k == 0 else min((k // cb_every + 1) * cb_every, max_iter)
         else:
             k_stop = min(k + chunk, max_iter)
-        state = _cg_chunk(A, M, stop, opts.beta_kind, state, u_true, jnp.asarray(k_stop, jnp.int32))
+        if opts.chunk_fn is not None:
+            state = opts.chunk_fn(state, u_true, jnp.asarray(k_stop, jnp.int32))
+        else:
+            state = _cg_chunk(
+                A, M, stop, opts.beta_kind, state, u_true, jnp.asarray(k_stop, jnp.int32)
+            )
         k, done, reason_code, prec, rmax, emax, r2 = (
             int(state.k),
             bool(state.done),
