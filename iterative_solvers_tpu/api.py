@@ -194,6 +194,13 @@ class DirichletSolver:
             from iterative_solvers_tpu.solvers.precond import make_preconditioner
 
             M = make_preconditioner(self.preconditioner, A, dom)
+            if self.operator_kind in ("pallas", "fused") and hasattr(M, "levels"):
+                # multigrid works on unpadded grids; adapt to the padded layout
+                from iterative_solvers_tpu.solvers.multigrid import (
+                    PaddedPreconditioner,
+                )
+
+                M = PaddedPreconditioner(inner=M, padded_op=A)
 
         opts = CGOptions(
             stop=self.stop,

@@ -48,7 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="stencil: jnp matrix-free; sparse: CSR; pallas: pallas stencil + "
         "standard CG; fused: fully fused pallas CG (f32, fastest on TPU)",
     )
-    s.add_argument("--precond", default=None, help="jacobi | chebyshev[:degree]")
+    s.add_argument(
+        "--precond", default=None, help="jacobi | chebyshev[:degree] | mg[:nu]"
+    )
     s.add_argument("--beta", choices=["msg", "fr"], default="msg", help="CG beta recurrence")
     s.add_argument("--eps-precision", type=float, default=1e-6,
                    help="max-norm step criterion; <=0 disables")

@@ -1,0 +1,327 @@
+"""Geometric multigrid V-cycle preconditioner (extension beyond the reference).
+
+The reference solves its Poisson systems with plain CG whose iteration count
+grows like O(n) with grid resolution (reference solver/msg_solver.cpp:80-184
+runs up to 10000 iterations at 30x30 already). A multigrid V-cycle makes the
+preconditioned system's condition number O(1), so MG-PCG converges in a
+resolution-independent ~10-20 iterations — the dominant speedup lever for the
+8192² headline benchmark (BASELINE.md).
+
+TPU-native design decisions:
+
+- **Everything is full-grid masked fields** (core/domain.py layout): each
+  level is just a coarser `Domain2D`/`Domain3D` with its own interior mask and
+  rediscretized 5/7-point stencil — no sparse matrices, no indirection.
+- **Separable transfer operators**: prolongation is per-axis linear
+  interpolation (bilinear in 2D, trilinear in 3D) built from stack+reshape
+  interleaving — contiguous relayouts XLA handles well, no strided scatters.
+  Restriction is the exact adjoint (full-weighting, R = Pᵀ/2^ndim per the
+  per-axis [1,2,1]/4 kernel), which is what makes the V-cycle a *symmetric*
+  linear operator — a hard requirement for use inside PCG.
+- **Weighted-Jacobi smoothing** (ω=0.8, the 2D 5-point optimum): pure
+  stencil-apply + axpy, bandwidth-bound VPU work, identical cost profile to
+  the CG iteration itself; symmetric, and with nu_pre == nu_post the whole
+  V-cycle stays symmetric.
+- **Coarsest solve is linear and exact**: a precomputed dense inverse of the
+  coarsest-level operator applied via gather → matmul → scatter (static index
+  sets). CG would NOT be legal here (it is nonlinear in b and would silently
+  break PCG); when the grid cannot be coarsened far enough for a dense
+  inverse, a fixed-degree Chebyshev polynomial (also linear and symmetric)
+  is used instead.
+
+The operator is the *negative*-definite discrete Laplacian (SURVEY §0), and
+the V-cycle approximates its inverse, so (r, M r) < 0 throughout — the PCG
+recurrence in solvers/cg.py handles that sign convention unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+
+
+# --------------------------------------------------------------------------
+# Separable transfer operators
+# --------------------------------------------------------------------------
+
+
+def _restrict1d(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Full-weighting restriction along one axis: coarse node i <- fine node 2i
+    with kernel [1, 2, 1]/4. Fine extent 2*nc+1 -> coarse extent nc+1."""
+    a = jnp.moveaxis(a, axis, -1)
+    n = a.shape[-1]  # = 2*nc + 1
+    nc1 = (n - 1) // 2 + 1
+    pad = [(0, 0)] * (a.ndim - 1) + [(1, 1)]
+    p = jnp.pad(a, pad)
+    lo = p[..., 0 : 2 * nc1 - 1 : 2]
+    mid = p[..., 1 : 2 * nc1 : 2]
+    hi = p[..., 2 : 2 * nc1 + 1 : 2]
+    out = 0.25 * (lo + hi) + 0.5 * mid
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _prolong1d(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Linear interpolation along one axis: even fine nodes copy the coarse
+    value, odd fine nodes average their two coarse neighbors. The adjoint of
+    :func:`_restrict1d` up to the factor 2 (R = Pᵀ/2 per axis)."""
+    a = jnp.moveaxis(a, axis, -1)
+    nc1 = a.shape[-1]
+    left, right = a[..., :-1], a[..., 1:]
+    mid = 0.5 * (left + right)
+    inter = jnp.stack([left, mid], axis=-1).reshape(*a.shape[:-1], 2 * (nc1 - 1))
+    out = jnp.concatenate([inter, a[..., -1:]], axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def restrict_full_weighting(r: jnp.ndarray) -> jnp.ndarray:
+    """ndim-separable full-weighting restriction (all axes halved)."""
+    for ax in range(r.ndim):
+        r = _restrict1d(r, ax)
+    return r
+
+
+def prolong_linear(e: jnp.ndarray) -> jnp.ndarray:
+    """ndim-separable bilinear/trilinear prolongation (all axes doubled)."""
+    for ax in range(e.ndim):
+        e = _prolong1d(e, ax)
+    return e
+
+
+# --------------------------------------------------------------------------
+# Level hierarchy
+# --------------------------------------------------------------------------
+
+
+def _coarsen_domain(d):
+    """The next-coarser domain (all interval counts halved), or None if the
+    domain cannot be rediscretized at half resolution."""
+    if isinstance(d, Domain3D):
+        if d.nx % 2 or d.ny % 2 or d.nz % 2 or min(d.nx, d.ny, d.nz) < 4:
+            return None
+        return dataclasses.replace(d, nx=d.nx // 2, ny=d.ny // 2, nz=d.nz // 2)
+    if d.nx % 2 or d.ny % 2 or min(d.nx, d.ny) < 4:
+        return None
+    cnx, cny = d.nx // 2, d.ny // 2
+    if d.shape == "gamma" and (cnx % 2 or cny % 2):
+        return None  # the Г-mask needs even interval counts
+    c = d.with_resolution(cnx, cny)
+    return c if c.num_unknowns > 0 else None
+
+
+def _neighbor_coeffs(d) -> Tuple[Tuple[int, float], ...]:
+    """(axis, coefficient) per stencil direction, axes in field order."""
+    if isinstance(d, Domain3D):
+        return ((0, d.coeff_z), (1, d.coeff_y), (2, d.coeff_x))
+    return ((0, d.coeff_y), (1, d.coeff_x))
+
+
+def _assemble_dense(d) -> Tuple[np.ndarray, np.ndarray]:
+    """(interior flat indices, dense packed matrix) of the level operator.
+    Only ever used on the coarsest level, where the unknown count is tiny."""
+    interior = np.asarray(d.interior)
+    flat = np.arange(interior.size).reshape(interior.shape)
+    idx = np.flatnonzero(interior.ravel())
+    P = idx.size
+    pos = np.full(interior.size, -1, dtype=np.int64)
+    pos[idx] = np.arange(P)
+    A = np.zeros((P, P), dtype=np.float64)
+    A[np.arange(P), np.arange(P)] = d.coeff_diag
+    for axis, c in _neighbor_coeffs(d):
+        sl_lo = [slice(None)] * interior.ndim
+        sl_hi = [slice(None)] * interior.ndim
+        sl_lo[axis] = slice(None, -1)
+        sl_hi[axis] = slice(1, None)
+        both = interior[tuple(sl_lo)] & interior[tuple(sl_hi)]
+        f_lo = flat[tuple(sl_lo)][both]
+        f_hi = flat[tuple(sl_hi)][both]
+        A[pos[f_lo], pos[f_hi]] = c
+        A[pos[f_hi], pos[f_lo]] = c
+    return idx, A
+
+
+@dataclass(frozen=True, eq=False)
+class _Level:
+    interior: jnp.ndarray  # bool mask, this level's grid shape
+    coeffs: Tuple[float, ...]  # (cd, c_axis0, c_axis1[, c_axis2]) in axis order
+    omega_over_diag: float  # ω / diag(A) — one Jacobi sweep scaling
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Masked stencil apply, inlined per-level (levels differ in shape)."""
+        xm = jnp.where(self.interior, x, 0)
+        p = jnp.pad(xm, 1)
+        y = self.coeffs[0] * xm
+        for ax in range(x.ndim):
+            sl_lo = tuple(
+                slice(0, -2) if a == ax else slice(1, -1) for a in range(x.ndim)
+            )
+            sl_hi = tuple(
+                slice(2, None) if a == ax else slice(1, -1) for a in range(x.ndim)
+            )
+            y = y + self.coeffs[1 + ax] * (p[sl_lo] + p[sl_hi])
+        return jnp.where(self.interior, y, 0)
+
+    def mask(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.where(self.interior, x, 0)
+
+
+@dataclass(frozen=True, eq=False)
+class _CoarseSolveDense:
+    """e = A⁻¹ b on the coarsest level via a precomputed dense inverse,
+    applied gather → matmul → scatter with static index sets."""
+
+    idx: jnp.ndarray  # int32 flat indices of interior nodes
+    a_inv: jnp.ndarray  # (P, P) dense inverse
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        bp = b.ravel()[self.idx]
+        ep = (self.a_inv @ bp.astype(self.a_inv.dtype)).astype(b.dtype)
+        return jnp.zeros(b.size, b.dtype).at[self.idx].set(ep).reshape(b.shape)
+
+
+@dataclass(frozen=True, eq=False)
+class _CoarseSolveChebyshev:
+    """Fixed-degree Chebyshev approximation of A⁻¹ — linear and symmetric,
+    the legal fallback when the coarsest level is too big to invert densely."""
+
+    level: _Level
+    lam_lo: float
+    lam_hi: float
+    degree: int
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        theta = 0.5 * (self.lam_hi + self.lam_lo)
+        delta = 0.5 * (self.lam_hi - self.lam_lo)
+        sigma1 = theta / delta
+        z = b / theta
+        d = z
+        rho_prev = 1.0 / sigma1
+        for _ in range(self.degree):
+            rho = 1.0 / (2.0 * sigma1 - rho_prev)
+            resid = b - self.level.apply(z)
+            d = (rho * rho_prev) * d + (2.0 * rho / delta) * resid
+            z = z + d
+            rho_prev = rho
+        return self.level.mask(z)
+
+
+@dataclass(frozen=True, eq=False)
+class MultigridPreconditioner:
+    """Hashable callable ``z = M r`` ≈ ``A⁻¹ r``: one V(nu_pre, nu_post)
+    cycle of rediscretized geometric multigrid. Plug into
+    ``CGOptions.preconditioner`` (or ``DirichletSolver(preconditioner='mg')``).
+    Symmetric by construction (see module docstring), hence PCG-safe."""
+
+    levels: Tuple[_Level, ...]
+    coarse_solve: Callable
+    nu_pre: int = 1
+    nu_post: int = 1
+
+    @staticmethod
+    def from_domain(
+        domain,
+        *,
+        omega: float = 0.8,
+        nu_pre: int = 1,
+        nu_post: int = 1,
+        dense_coarse_limit: int = 2048,
+        coarse_chebyshev_degree: int = 48,
+        dtype=None,
+    ) -> "MultigridPreconditioner":
+        if nu_pre != nu_post:
+            raise ValueError(
+                "nu_pre must equal nu_post: an asymmetric V-cycle is not a "
+                "symmetric operator and silently breaks PCG"
+            )
+        domains = [domain]
+        while True:
+            c = _coarsen_domain(domains[-1])
+            if c is None:
+                break
+            domains.append(c)
+            if c.num_unknowns <= dense_coarse_limit:
+                break
+
+        def make_level(d):
+            if isinstance(d, Domain3D):
+                coeffs = (d.coeff_diag, d.coeff_z, d.coeff_y, d.coeff_x)
+            else:
+                coeffs = (d.coeff_diag, d.coeff_y, d.coeff_x)
+            return _Level(
+                interior=jnp.asarray(np.asarray(d.interior)),
+                coeffs=coeffs,
+                omega_over_diag=omega / d.coeff_diag,
+            )
+
+        levels = tuple(make_level(d) for d in domains)
+        coarsest = domains[-1]
+        if coarsest.num_unknowns <= dense_coarse_limit:
+            idx, A = _assemble_dense(coarsest)
+            a_inv = np.linalg.inv(A)
+            coarse = _CoarseSolveDense(
+                idx=jnp.asarray(idx, jnp.int32),
+                a_inv=jnp.asarray(a_inv, dtype or jnp.zeros(0).dtype),
+            )
+        else:
+            from iterative_solvers_tpu.solvers.precond import spectral_bounds
+
+            lo, hi = spectral_bounds(coarsest)
+            coarse = _CoarseSolveChebyshev(
+                level=levels[-1],
+                lam_lo=lo,
+                lam_hi=hi,
+                degree=coarse_chebyshev_degree,
+            )
+        return MultigridPreconditioner(
+            levels=levels, coarse_solve=coarse, nu_pre=nu_pre, nu_post=nu_post
+        )
+
+    # --- V-cycle (Python recursion unrolls at trace time) -----------------
+
+    def _vcycle(self, li: int, b: jnp.ndarray) -> jnp.ndarray:
+        if li == len(self.levels) - 1:
+            return self.coarse_solve(b)
+        lev = self.levels[li]
+        # Pre-smooth from x=0: the first weighted-Jacobi sweep collapses to a
+        # pure scaling of b.
+        x = lev.omega_over_diag * b
+        for _ in range(self.nu_pre - 1):
+            x = x + lev.omega_over_diag * (b - lev.apply(x))
+        r = b - lev.apply(x)
+        rc = self.levels[li + 1].mask(restrict_full_weighting(r))
+        ec = self._vcycle(li + 1, rc)
+        x = x + lev.mask(prolong_linear(ec))
+        for _ in range(self.nu_post):
+            x = x + lev.omega_over_diag * (b - lev.apply(x))
+        return x
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        if r.shape != self.levels[0].interior.shape:
+            raise ValueError(
+                f"field shape {r.shape} != fine-level grid "
+                f"{self.levels[0].interior.shape}"
+            )
+        return self._vcycle(0, r)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+
+@dataclass(frozen=True, eq=False)
+class PaddedPreconditioner:
+    """Adapter running an unpadded-field preconditioner under a padded-layout
+    operator (kernels/stencil_pallas.py pads grids to tile multiples)."""
+
+    inner: Callable
+    padded_op: object  # needs .crop(x) and .pad(x)
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        return self.padded_op.pad(self.inner(self.padded_op.crop(r)))

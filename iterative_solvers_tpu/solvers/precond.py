@@ -118,4 +118,14 @@ def make_preconditioner(name: str, A, domain, **kwargs):
         if degree is None and ":" in name:
             degree = int(name.split(":", 1)[1])
         return ChebyshevPreconditioner.from_domain(A, domain, degree or 4)
-    raise ValueError(f"unknown preconditioner {name!r} (use 'jacobi' or 'chebyshev[:m]')")
+    if name in ("mg", "multigrid") or name.startswith(("mg:", "multigrid:")):
+        from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+
+        nu = kwargs.get("nu")
+        if nu is None and ":" in name:
+            nu = int(name.split(":", 1)[1])
+        nu = nu or 1
+        return MultigridPreconditioner.from_domain(domain, nu_pre=nu, nu_post=nu)
+    raise ValueError(
+        f"unknown preconditioner {name!r} (use 'jacobi', 'chebyshev[:m]' or 'mg[:nu]')"
+    )

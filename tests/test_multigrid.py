@@ -1,0 +1,246 @@
+"""Geometric multigrid preconditioner tests.
+
+The contract (solvers/multigrid.py): the V-cycle is a SYMMETRIC linear
+operator approximating A⁻¹, and MG-PCG converges in a resolution-independent
+number of iterations — unlike plain CG whose count grows O(n)
+(the reference's only solver, solver/msg_solver.cpp:80-184).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from iterative_solvers_tpu.api import DirichletSolver
+from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+from iterative_solvers_tpu.core.problem import PoissonProblem
+from iterative_solvers_tpu.ops.stencil import StencilOperator
+from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
+from iterative_solvers_tpu.solvers.multigrid import (
+    MultigridPreconditioner,
+    prolong_linear,
+    restrict_full_weighting,
+)
+from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+
+def test_transfer_adjointness():
+    """R = Pᵀ / 2^ndim — the identity that makes the V-cycle symmetric."""
+    rng = np.random.default_rng(0)
+    uf = jnp.asarray(rng.standard_normal((33, 33)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((17, 17)), jnp.float32)
+    lhs = float(jnp.sum(restrict_full_weighting(uf) * vc))
+    rhs = float(jnp.sum(uf * prolong_linear(vc))) / 4.0
+    assert abs(lhs - rhs) < 1e-4 * max(1.0, abs(lhs))
+
+
+def test_transfer_adjointness_3d():
+    rng = np.random.default_rng(1)
+    uf = jnp.asarray(rng.standard_normal((9, 9, 9)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((5, 5, 5)), jnp.float32)
+    lhs = float(jnp.sum(restrict_full_weighting(uf) * vc))
+    rhs = float(jnp.sum(uf * prolong_linear(vc))) / 8.0
+    assert abs(lhs - rhs) < 1e-4 * max(1.0, abs(lhs))
+
+
+def test_prolong_exact_on_linear_fields():
+    """Bilinear interpolation reproduces affine functions exactly."""
+    yc, xc = np.mgrid[0:9, 0:9].astype(np.float32)
+    coarse = 2.0 * xc - 3.0 * yc + 1.0
+    fine = np.asarray(prolong_linear(jnp.asarray(coarse)))
+    yf, xf = np.mgrid[0:17, 0:17].astype(np.float32) / 2.0
+    np.testing.assert_allclose(fine, 2.0 * xf - 3.0 * yf + 1.0, rtol=1e-6)
+
+
+def test_vcycle_symmetry():
+    dom = Domain2D(nx=32, ny=32)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom)
+    rng = np.random.default_rng(2)
+    u = op.mask(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32))
+    v = op.mask(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32))
+    s1 = float(jnp.sum(u * M(v)))
+    s2 = float(jnp.sum(v * M(u)))
+    assert abs(s1 - s2) <= 1e-5 * abs(s1)
+
+
+def test_vcycle_negative_definite_action():
+    """(r, M r) < 0 for the negative-definite Laplacian's approximate inverse
+    — the sign convention PCG's alpha/beta recurrences rely on."""
+    dom = Domain2D(nx=16, ny=16)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        r = op.mask(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32))
+        assert float(jnp.sum(r * M(r))) < 0
+
+
+@pytest.mark.parametrize("n", [32, 64, 128])
+def test_mg_pcg_resolution_independent_iterations(n):
+    dom = Domain2D(nx=n, ny=n)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    b = prob.rhs_field(jnp.float32)
+    M = MultigridPreconditioner.from_domain(dom)
+    res = cg_solve(
+        op,
+        b,
+        options=CGOptions(
+            stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=100),
+            preconditioner=M,
+        ),
+    )
+    assert res.converged
+    assert res.iterations <= 15  # plain CG needs ~90 at n=32, ~360 at n=128
+    assert res.residual_max < 1e-3
+
+
+def test_mg_pcg_beats_plain_cg_iterations():
+    dom = Domain2D(nx=64, ny=64)
+    b = PoissonProblem.manufactured(dom).rhs_field(jnp.float32)
+    op = StencilOperator.from_domain(dom)
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=2000)
+    plain = cg_solve(op, b, options=CGOptions(stop=stop))
+    mg = cg_solve(
+        op,
+        b,
+        options=CGOptions(
+            stop=stop, preconditioner=MultigridPreconditioner.from_domain(dom)
+        ),
+    )
+    assert mg.converged and plain.converged
+    assert mg.iterations * 5 < plain.iterations
+
+
+def test_mg_pcg_correct_solution():
+    """MG-PCG converges to the same discrete solution as plain CG (the
+    manufactured-solution error is discretization-dominated, SURVEY §0)."""
+    dom = Domain2D(nx=64, ny=64)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    b = prob.rhs_field(jnp.float32)
+    u = prob.true_solution_field(jnp.float32)
+    res = cg_solve(
+        op,
+        b,
+        u_true=u,
+        options=CGOptions(
+            stop=StopConfig(eps_precision=-1, eps_residual=1e-4, max_iterations=100),
+            preconditioner=MultigridPreconditioner.from_domain(dom),
+        ),
+    )
+    assert res.converged
+    assert res.error_max < 1e-3  # O(h²) discretization error at n=64
+
+
+def test_mg_nu2_smoothing():
+    dom = Domain2D(nx=64, ny=64)
+    b = PoissonProblem.manufactured(dom).rhs_field(jnp.float32)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom, nu_pre=2, nu_post=2)
+    res = cg_solve(
+        op,
+        b,
+        options=CGOptions(
+            stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=50),
+            preconditioner=M,
+        ),
+    )
+    assert res.converged and res.iterations <= 10
+
+
+def test_mg_asymmetric_nu_rejected():
+    with pytest.raises(ValueError, match="symmetric"):
+        MultigridPreconditioner.from_domain(Domain2D(nx=16, ny=16), nu_pre=2, nu_post=1)
+
+
+def test_mg_non_coarsenable_grid_single_level():
+    """30x30 Г-grid (GUI default, qt_gui/src/mainwindow.cpp:112-113) cannot be
+    halved (15 odd) — the hierarchy degenerates to an exact coarse solve and
+    PCG converges in a couple of iterations."""
+    dom = Domain2D(nx=30, ny=30)
+    b = PoissonProblem.manufactured(dom).rhs_field(jnp.float32)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom)
+    assert M.num_levels == 1
+    res = cg_solve(
+        op,
+        b,
+        options=CGOptions(
+            stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=10),
+            preconditioner=M,
+        ),
+    )
+    assert res.converged and res.iterations <= 3
+
+
+def test_mg_chebyshev_coarse_fallback():
+    """Force the Chebyshev coarse solve by disallowing the dense inverse."""
+    dom = Domain2D(nx=64, ny=64)
+    b = PoissonProblem.manufactured(dom).rhs_field(jnp.float32)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom, dense_coarse_limit=0)
+    res = cg_solve(
+        op,
+        b,
+        options=CGOptions(
+            stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=100),
+            preconditioner=M,
+        ),
+    )
+    assert res.converged and res.iterations <= 30
+
+
+def test_mg_rect_domain():
+    dom = Domain2D(nx=64, ny=32, shape="rect")
+    b = PoissonProblem.manufactured(dom).rhs_field(jnp.float32)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom)
+    assert M.num_levels >= 2
+    res = cg_solve(
+        op,
+        b,
+        options=CGOptions(
+            stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=50),
+            preconditioner=M,
+        ),
+    )
+    assert res.converged and res.iterations <= 15
+
+
+def test_mg_3d():
+    dom = Domain3D(nx=16, ny=16, nz=16)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    b = prob.rhs_field(jnp.float32)
+    M = MultigridPreconditioner.from_domain(dom)
+    assert M.num_levels >= 2
+    res = cg_solve(
+        op,
+        b,
+        options=CGOptions(
+            stop=StopConfig(eps_precision=-1, eps_residual=1e-2, max_iterations=50),
+            preconditioner=M,
+        ),
+    )
+    assert res.converged and res.iterations <= 15
+
+
+def test_facade_mg():
+    s = DirichletSolver(
+        nx=64,
+        ny=64,
+        preconditioner="mg",
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=100),
+    )
+    res = s.solve(record_history=False)
+    assert res.converged and res.iterations <= 15
+
+
+def test_make_preconditioner_mg_nu():
+    from iterative_solvers_tpu.solvers.precond import make_preconditioner
+
+    dom = Domain2D(nx=32, ny=32)
+    op = StencilOperator.from_domain(dom)
+    M = make_preconditioner("mg:2", op, dom)
+    assert M.nu_pre == 2 and M.nu_post == 2
