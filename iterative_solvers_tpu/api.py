@@ -102,6 +102,7 @@ class DirichletSolver:
         stop: Optional[StopConfig] = None,
         beta_kind: str = "msg",
         preconditioner: Optional[str] = None,
+        precision: Optional[str] = None,  # None | 'mixed' (f64 outer, f32 inner)
         mesh=None,
     ) -> None:
         if problem is not None:
@@ -114,6 +115,11 @@ class DirichletSolver:
         self.stop = stop or StopConfig()
         self.beta_kind = beta_kind
         self.preconditioner = preconditioner
+        if precision not in (None, "mixed"):
+            raise ValueError(f"unknown precision {precision!r} (use None or 'mixed')")
+        if precision == "mixed" and operator != "stencil":
+            raise ValueError("precision='mixed' requires the matrix-free stencil operator")
+        self.precision = precision
         self.mesh = mesh
         self._stop_event = threading.Event()
         self._op = None
@@ -212,7 +218,33 @@ class DirichletSolver:
             record_history=record_history,
             state_callback=state_callback,
         )
-        if self.operator_kind == "fused":
+        if self.precision == "mixed":
+            import jax
+
+            from iterative_solvers_tpu.solvers.refine import refined_solve
+
+            if not jax.config.jax_enable_x64:
+                raise RuntimeError(
+                    "precision='mixed' needs jax_enable_x64 for the f64 outer loop"
+                )
+            b64 = self.problem.rhs_field(jnp.float64)
+            u64 = (
+                self.problem.true_solution_field(jnp.float64)
+                if self.problem.u_exact is not None
+                else None
+            )
+            res = refined_solve(
+                A,
+                A,
+                b64,
+                u_true=u64,
+                stop=self.stop,
+                preconditioner=M,
+                callback=callback,
+                stop_requested=self._stop_event.is_set,
+            )
+            b, u = b64, u64
+        elif self.operator_kind == "fused":
             from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
 
             res = fused_cg_solve(A, b, u_true=u, options=opts)

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-iter", type=int, default=10000)
     s.add_argument("--dtype", choices=["f32", "f64"], default=None,
                    help="default: f64 on CPU, f32 on TPU")
+    s.add_argument("--precision", choices=["mixed"], default=None,
+                   help="mixed: f64 outer iterative refinement over f32 inner "
+                   "MG-PCG — reference-grade accuracy at f32 speed")
     s.add_argument("--platform", choices=["cpu", "tpu"], default=None)
     s.add_argument("--progress-every", type=int, default=100,
                    help="live trace cadence (0 silences it)")
@@ -89,6 +92,10 @@ def _configure_platform(platform: Optional[str]) -> None:
 
 def cmd_solve(args) -> int:
     _configure_platform(args.platform)
+    if getattr(args, "precision", None) == "mixed":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)  # f64 outer loop
     import jax.numpy as jnp
 
     from iterative_solvers_tpu import results_io, viz
@@ -118,6 +125,7 @@ def cmd_solve(args) -> int:
         stop=stop,
         beta_kind=args.beta,
         preconditioner=args.precond,
+        precision=args.precision,
     )
 
     callback = None

@@ -1,0 +1,156 @@
+"""Mixed-precision iterative-refinement tests (solvers/refine.py).
+
+Contract: f32 inner MG-PCG + f64 outer residual reaches TRUE residuals far
+below the f32 stagnation floor, with only a handful of outer steps.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from iterative_solvers_tpu.api import DirichletSolver
+from iterative_solvers_tpu.core.domain import Domain2D
+from iterative_solvers_tpu.core.problem import PoissonProblem
+from iterative_solvers_tpu.ops.stencil import StencilOperator
+from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
+from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+from iterative_solvers_tpu.solvers.refine import refined_solve
+from iterative_solvers_tpu.solvers.stopping import StopConfig, StopReason
+
+
+def _setup(n):
+    dom = Domain2D(nx=n, ny=n)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    return dom, prob, op
+
+
+def test_refined_beats_f32_floor():
+    """Plain f32 CG cannot reach a true residual of 1e-6 at 64² (values scale
+    with 1/h² ≈ 1.6e4); refinement gets there in a few outer steps."""
+    dom, prob, op = _setup(64)
+    b64 = prob.rhs_field(jnp.float64)
+    M = MultigridPreconditioner.from_domain(dom)
+    res = refined_solve(
+        op,
+        op,
+        b64,
+        u_true=prob.true_solution_field(jnp.float64),
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=10000),
+        preconditioner=M,
+    )
+    assert res.converged and res.reason == StopReason.RESIDUAL
+    # verify on the actual f64 true residual, independently
+    r_true = float(jnp.max(jnp.abs(b64 - op(res.x))))
+    assert r_true < 1e-6
+    assert res.outer_iterations <= 6
+    assert res.iterations <= 80  # total inner f32 iterations
+
+
+def test_refined_reaches_1e9():
+    dom, prob, op = _setup(32)
+    b64 = prob.rhs_field(jnp.float64)
+    res = refined_solve(
+        op,
+        op,
+        b64,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-9, max_iterations=10000),
+        preconditioner=MultigridPreconditioner.from_domain(dom),
+    )
+    assert res.converged
+    assert float(jnp.max(jnp.abs(b64 - op(res.x)))) < 1e-9
+
+
+def test_refined_no_preconditioner():
+    dom, prob, op = _setup(32)
+    b64 = prob.rhs_field(jnp.float64)
+    res = refined_solve(
+        op,
+        op,
+        b64,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=10000),
+    )
+    assert res.converged
+    assert float(jnp.max(jnp.abs(b64 - op(res.x)))) < 1e-6
+
+
+def test_refined_precision_criterion():
+    dom, prob, op = _setup(32)
+    b64 = prob.rhs_field(jnp.float64)
+    res = refined_solve(
+        op,
+        op,
+        b64,
+        stop=StopConfig(eps_precision=1e-8, eps_residual=-1, max_iterations=10000),
+        preconditioner=MultigridPreconditioner.from_domain(dom),
+    )
+    assert res.converged and res.reason == StopReason.PRECISION
+
+
+def test_refined_interrupt():
+    dom, prob, op = _setup(32)
+    b64 = prob.rhs_field(jnp.float64)
+    calls = {"n": 0}
+
+    def stop_requested():
+        calls["n"] += 1
+        return calls["n"] > 1  # allow exactly one outer step
+
+    res = refined_solve(
+        op,
+        op,
+        b64,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-12, max_iterations=10000),
+        preconditioner=MultigridPreconditioner.from_domain(dom),
+        stop_requested=stop_requested,
+    )
+    assert not res.converged and res.reason == StopReason.INTERRUPTED
+    assert res.outer_iterations == 1
+
+
+def test_refined_callback_protocol():
+    dom, prob, op = _setup(32)
+    b64 = prob.rhs_field(jnp.float64)
+    seen = []
+    res = refined_solve(
+        op,
+        op,
+        b64,
+        u_true=prob.true_solution_field(jnp.float64),
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=10000),
+        preconditioner=MultigridPreconditioner.from_domain(dom),
+        callback=lambda k, p, r, e: seen.append((k, p, r, e)),
+    )
+    assert seen[0][0] == 0 and math.isinf(seen[0][1])
+    ks = [s[0] for s in seen]
+    assert ks == sorted(ks) and ks[-1] == res.iterations
+    rs = [s[2] for s in seen]
+    assert rs[-1] < 1e-6 < rs[0]
+
+
+def test_refined_rejects_low_precision_b():
+    dom, prob, op = _setup(16)
+    with pytest.raises(ValueError, match="lo_dtype"):
+        refined_solve(op, op, prob.rhs_field(jnp.float32))
+
+
+def test_facade_mixed_precision():
+    s = DirichletSolver(
+        nx=64,
+        ny=64,
+        preconditioner="mg",
+        precision="mixed",
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=10000),
+    )
+    res = s.solve(record_history=False)
+    assert res.converged
+    # SolverResults recomputes the residual from scratch in f64
+    assert res.residual_norm < 1e-6
+    assert res.error_norm < 1e-3  # discretization-bound
+
+
+def test_facade_mixed_requires_stencil():
+    with pytest.raises(ValueError, match="stencil"):
+        DirichletSolver(nx=16, ny=16, precision="mixed", operator="sparse")
