@@ -78,8 +78,11 @@ def _stencil_regs(zk, up_row, dn_row, cd, cx, cy, wp, mask):
     """A·z_k entirely in registers, given the two masked halo rows."""
     up = jnp.concatenate([up_row, zk[:-1, :]], axis=0)
     dn = jnp.concatenate([zk[1:, :], dn_row], axis=0)
-    y = cd * zk + cx * (pltpu.roll(zk, 1, 1) + pltpu.roll(zk, wp - 1, 1)) \
-        + cy * (up + dn)
+    # np.int32 shifts: under jax_enable_x64 a Python int would trace as i64,
+    # which tpu.dynamic_rotate rejects
+    y = cd * zk + cx * (
+        pltpu.roll(zk, np.int32(1), 1) + pltpu.roll(zk, np.int32(wp - 1), 1)
+    ) + cy * (up + dn)
     return jnp.where(mask, y, 0.0)
 
 
@@ -357,6 +360,10 @@ def fused_cg_solve(
         state_callback=opts.state_callback,
         chunk_fn=lambda state, u, k_stop: _fused_chunk(engine, opts.stop, state, u, k_stop),
     )
-    res = cg_solve(lambda v: v, bp, u_true=up_true, options=fused_opts, init_state=state)
+    # The engine is f32-only; under jax_enable_x64 the Mosaic lowering would
+    # see i64 index-map/return values and fail to legalize, so trace the whole
+    # solve in a local x64-disabled scope (arrays above are f32 already).
+    with jax.enable_x64(False):
+        res = cg_solve(lambda v: v, bp, u_true=up_true, options=fused_opts, init_state=state)
     res.x = op.crop(res.x)
     return res

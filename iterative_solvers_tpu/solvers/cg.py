@@ -66,6 +66,41 @@ def _maxabs(a: Array) -> Array:
     return jnp.max(jnp.abs(a))
 
 
+@jax.jit
+def _pack_stats(state: "CGState") -> Array:
+    """Pack the per-chunk progress scalars into ONE device array so the host
+    pays a single transfer per chunk. Over a tunneled TPU each separate
+    scalar fetch is a full round-trip (~100 ms); the reference's host-side
+    per-iteration copies (msg_solver.cpp:215-258) are the same disease."""
+    f = jnp.promote_types(state.r_max.dtype, jnp.float32)
+    return jnp.stack(
+        [
+            state.k.astype(f),  # exact to 2^24 (f32) / 2^53 (f64) iterations
+            state.done.astype(f),
+            state.reason.astype(f),
+            state.prec_max.astype(f),
+            state.r_max.astype(f),
+            state.err_max.astype(f),
+            state.r_norm2.astype(f),
+            state.r0_norm.astype(f),
+        ]
+    )
+
+
+def _sync_stats(state: "CGState"):
+    v = np.asarray(_pack_stats(state))
+    return (
+        int(v[0]),
+        bool(v[1]),
+        int(v[2]),
+        float(v[3]),
+        float(v[4]),
+        float(v[5]),
+        float(v[6]),
+        float(v[7]),
+    )
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _cg_chunk(A, M, stop: StopConfig, beta_kind: str, state: CGState, u_true, k_stop):
     """Run CG iterations until a stop criterion fires or k reaches k_stop."""
@@ -294,18 +329,17 @@ def cg_solve(
         if opts.record_history:
             history.append((k, prec, rmax, emax, rn))
 
-    # Iteration-0 callback (reference msg_solver.cpp:75-77).
-    k = int(state.k)
-    fire(
-        k,
-        math.inf if k == 0 else float(state.prec_max),
-        float(r_max0),
-        float(err0),
-        float(r0_norm) if k == 0 else math.sqrt(max(float(r2_0), 0.0)),
-    )
+    # ONE host sync for the whole iteration-0 protocol (reference
+    # msg_solver.cpp:75-77) + the zero-residual early-out check.
+    k, _, _, prec, rmax, emax, r2, r0n = _sync_stats(state)
+    if k == 0:
+        prec = math.inf
+    fire(k, prec, rmax, emax, r0n if k == 0 else math.sqrt(max(r2, 0.0)))
 
-    if float(r2_0) == 0.0:  # x0 already exact; avoid 0/0 in the loop
-        return _make_result(state, StopReason.RESIDUAL, True, r0_norm, t0, history, opts)
+    if r2 == 0.0:  # x0 already exact; avoid 0/0 in the loop
+        return _make_result(
+            state, k, StopReason.RESIDUAL, True, prec, rmax, emax, r2, r0n, t0, history, opts
+        )
 
     max_iter = stop.max_iterations
     cb_every = max(1, opts.callback_every)
@@ -331,46 +365,37 @@ def cg_solve(
             state = _cg_chunk(
                 A, M, stop, opts.beta_kind, state, u_true, jnp.asarray(k_stop, jnp.int32)
             )
-        k, done, reason_code, prec, rmax, emax, r2 = (
-            int(state.k),
-            bool(state.done),
-            int(state.reason),
-            float(state.prec_max),
-            float(state.r_max),
-            float(state.err_max),
-            float(state.r_norm2),
-        )
+        # One packed transfer per chunk — never per-scalar round-trips.
+        k, done, reason_code, prec, rmax, emax, r2, r0n = _sync_stats(state)
         if opts.state_callback is not None:
             opts.state_callback(state)
         if done:
             reason = StopReason(reason_code)
             break
         if opts.callback is not None or opts.record_history:
-            fire(k, prec, rmax, emax, math.sqrt(r2))
+            fire(k, prec, rmax, emax, math.sqrt(max(r2, 0.0)))
 
     converged = reason.converged and not interrupted
     # Final callback (reference msg_solver.cpp:192-195, unconditional).
-    fire(
-        int(state.k),
-        float(state.prec_max),
-        float(state.r_max),
-        float(state.err_max),
-        math.sqrt(float(state.r_norm2)),
+    fire(k, prec, rmax, emax, math.sqrt(max(r2, 0.0)))
+    return _make_result(
+        state, k, reason, converged, prec, rmax, emax, r2, r0n, t0, history, opts
     )
-    return _make_result(state, reason, converged, r0_norm, t0, history, opts)
 
 
-def _make_result(state, reason, converged, r0_norm, t0, history, opts) -> CGResult:
+def _make_result(
+    state, k, reason, converged, prec, rmax, emax, r2, r0n, t0, history, opts
+) -> CGResult:
     return CGResult(
         x=state.x,
-        iterations=int(state.k),
+        iterations=k,
         converged=bool(converged),
         reason=reason,
-        precision_max=float(state.prec_max),
-        residual_max=float(state.r_max),
-        error_max=float(state.err_max),
-        residual_norm=math.sqrt(max(float(state.r_norm2), 0.0)),
-        initial_residual_norm=float(r0_norm),
+        precision_max=prec,
+        residual_max=rmax,
+        error_max=emax,
+        residual_norm=math.sqrt(max(r2, 0.0)),
+        initial_residual_norm=r0n,
         elapsed_s=time.perf_counter() - t0,
         history=np.asarray(history) if opts.record_history else None,
     )

@@ -37,8 +37,21 @@ from typing import Callable, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from iterative_solvers_tpu.solvers.cg import CGOptions, CGResult, cg_solve
 from iterative_solvers_tpu.solvers.stopping import StopConfig, StopReason
+
+
+@jax.jit
+def _outer_stats(r, d, x, u_true):
+    """(‖r‖∞, ‖d‖∞, ‖x−u‖∞, ‖r‖₂²) in one device array → one host transfer."""
+    e = (
+        jnp.max(jnp.abs(x - u_true))
+        if u_true is not None
+        else jnp.asarray(jnp.inf, r.dtype)
+    )
+    return jnp.stack([jnp.max(jnp.abs(r)), jnp.max(jnp.abs(d)), e, jnp.sum(r * r)])
 
 
 @dataclass
@@ -49,6 +62,7 @@ class RefinedResult(CGResult):
 
     outer_iterations: int = 0
     inner_iterations: Optional[List[int]] = None
+    escalated: bool = False  # precision ladder stepped up to the f64 inner
 
 
 def refined_solve(
@@ -63,6 +77,8 @@ def refined_solve(
     inner_max_iter: int = 200,
     max_outer: int = 40,
     lo_dtype=jnp.float32,
+    escalate: bool = True,
+    escalate_ratio: float = 0.05,
     callback: Optional[Callable[[int, float, float, float], None]] = None,
     stop_requested: Optional[Callable[[], bool]] = None,
 ) -> RefinedResult:
@@ -74,6 +90,15 @@ def refined_solve(
     :class:`~iterative_solvers_tpu.solvers.multigrid.MultigridPreconditioner`)
     runs inside the f32 inner solve. Stop criteria follow the reference
     semantics (eps <= 0 disables) but are evaluated on true f64 residuals.
+
+    **Precision ladder** (``escalate=True``): classic f32-inner IR stalls once
+    the per-outer contraction hits the f32 floor — at 8192² the condition
+    number is ~1.4e7, so eps_f32·cond ≈ 0.8 and the true residual flatlines
+    around 4e-5 max-norm, short of the 1e-6 target. When an outer step shrinks
+    the residual by less than ``escalate_ratio``×, the inner solve is escalated
+    to ``b.dtype`` (f64 — XLA-emulated on TPU at only ~3x the f32 stencil
+    cost), whose floor eps_f64·‖A‖·‖x‖ ≈ 6e-7 sits below the target. Typical
+    profile at 8192²: ~5 cheap f32 outers + 2 f64 polish outers.
     """
     stop = stop or StopConfig()
     if b.dtype == lo_dtype:
@@ -94,13 +119,19 @@ def refined_solve(
 
     x = jnp.zeros_like(b)
     r = b
-    r_max = float(jnp.max(jnp.abs(r)))
-    err_max = float(jnp.max(jnp.abs(x - u_true))) if u_true is not None else math.inf
+    s0 = np.asarray(_outer_stats(r, r, x, u_true))
+    r_max = float(s0[0])
+    err_max = float(s0[2]) if u_true is not None else math.inf
+    r0_norm = math.sqrt(max(float(s0[3]), 0.0))
+    r_norm = r0_norm
     prec_max = math.inf
     reason = StopReason.ITERATIONS
     total_inner = 0
     inner_counts: List[int] = []
     interrupted = False
+    cur_dtype = lo_dtype
+    escalated = False
+    stalls = 0  # consecutive outers with <2x residual reduction at top precision
 
     if callback is not None:
         callback(0, math.inf, r_max, err_max)
@@ -122,6 +153,11 @@ def refined_solve(
         ):
             reason = StopReason.PRECISION
             break
+        if stop.eps_relative > 0 and r_norm < stop.eps_relative * r0_norm:
+            # reference MatrixFreeSolver criterion (matrix_free_system.cpp:409)
+            # — evaluated on the TRUE f64 residual here
+            reason = StopReason.RELATIVE_RESIDUAL
+            break
         if total_inner >= stop.max_iterations:
             reason = StopReason.ITERATIONS
             break
@@ -130,22 +166,40 @@ def refined_solve(
             reason = StopReason.INTERRUPTED
             break
 
-        inner = cg_solve(A_lo, r.astype(lo_dtype), options=inner_opts)
+        inner = cg_solve(A_lo, r.astype(cur_dtype), options=inner_opts)
         d = inner.x.astype(b.dtype)
         x = x + d
         r = b - A_hi(x)  # true residual, f64
 
         total_inner += inner.iterations
         inner_counts.append(inner.iterations)
-        r_max = float(jnp.max(jnp.abs(r)))
-        prec_max = float(jnp.max(jnp.abs(d)))
+        # one packed transfer for all outer-progress scalars
+        stats = np.asarray(_outer_stats(r, d, x, u_true))
+        r_max_new, prec_max = float(stats[0]), float(stats[1])
+        r_norm = math.sqrt(max(float(stats[3]), 0.0))
         if u_true is not None:
-            err_max = float(jnp.max(jnp.abs(x - u_true)))
+            err_max = float(stats[2])
+        if (
+            escalate
+            and not escalated
+            and r_max_new > escalate_ratio * r_max
+            and r_max_new > 0
+        ):
+            # f32 floor reached: polish with full-precision inner solves
+            cur_dtype = b.dtype
+            escalated = True
+        elif cur_dtype == b.dtype or not escalate:
+            # at top precision: bail out if the rounding floor is reached
+            stalls = stalls + 1 if r_max_new > 0.5 * r_max else 0
+            if stalls >= 2:
+                r_max = r_max_new
+                reason = StopReason.ITERATIONS
+                break
+        r_max = r_max_new
         if callback is not None:
             callback(total_inner, prec_max, r_max, err_max)
 
     converged = reason.converged and not interrupted
-    r2 = float(jnp.sum(r * r))
     return RefinedResult(
         x=x,
         iterations=total_inner,
@@ -154,10 +208,11 @@ def refined_solve(
         precision_max=prec_max,
         residual_max=r_max,
         error_max=err_max,
-        residual_norm=math.sqrt(max(r2, 0.0)),
-        initial_residual_norm=float(jnp.sqrt(jnp.sum(b * b))),
+        residual_norm=r_norm,
+        initial_residual_norm=r0_norm,
         elapsed_s=time.perf_counter() - t0,
         history=None,
         outer_iterations=len(inner_counts),
         inner_iterations=inner_counts,
+        escalated=escalated,
     )
