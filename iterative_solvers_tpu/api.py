@@ -120,6 +120,8 @@ class DirichletSolver:
         if precision == "mixed" and operator != "stencil":
             raise ValueError("precision='mixed' requires the matrix-free stencil operator")
         self.precision = precision
+        if mesh is not None and operator != "stencil":
+            raise ValueError("mesh (distributed solve) requires operator='stencil'")
         self.mesh = mesh
         self._stop_event = threading.Event()
         self._op = None
@@ -161,7 +163,15 @@ class DirichletSolver:
 
     def _make_operator(self):
         if self._op is None:
-            if self.operator_kind == "sparse":
+            if self.mesh is not None:
+                from iterative_solvers_tpu.parallel.halo import (
+                    ShardedStencilOperator,
+                )
+
+                self._op = ShardedStencilOperator.from_domain(
+                    self.domain, self.mesh, self.dtype
+                )
+            elif self.operator_kind == "sparse":
                 self._op = SparseOperator.from_domain(self.domain, self.dtype)
             elif self.operator_kind in ("pallas", "fused"):
                 from iterative_solvers_tpu.kernels.stencil_pallas import (
@@ -188,7 +198,12 @@ class DirichletSolver:
         u = None
         if self.problem.u_exact is not None:
             u = self.problem.true_solution_field(self.dtype)
-        if self.operator_kind == "sparse":
+        if self.mesh is not None:
+            from iterative_solvers_tpu.parallel.mesh import shard_field
+
+            b = shard_field(b, self.mesh)
+            u = shard_field(u, self.mesh) if u is not None else None
+        elif self.operator_kind == "sparse":
             b = ordering.pack(b, dom)
             u = ordering.pack(u, dom) if u is not None else None
         elif self.operator_kind == "pallas":
@@ -200,7 +215,13 @@ class DirichletSolver:
             from iterative_solvers_tpu.solvers.precond import make_preconditioner
 
             M = make_preconditioner(self.preconditioner, A, dom)
-            if self.operator_kind in ("pallas", "fused") and hasattr(M, "levels"):
+            if self.mesh is not None and hasattr(M, "levels"):
+                from iterative_solvers_tpu.solvers.multigrid import (
+                    ShardedMultigridPreconditioner,
+                )
+
+                M = ShardedMultigridPreconditioner(inner=M, grid_shape=dom.grid_shape)
+            elif self.operator_kind in ("pallas", "fused") and hasattr(M, "levels"):
                 # multigrid works on unpadded grids; adapt to the padded layout
                 from iterative_solvers_tpu.solvers.multigrid import (
                     PaddedPreconditioner,
@@ -233,6 +254,11 @@ class DirichletSolver:
                 if self.problem.u_exact is not None
                 else None
             )
+            if self.mesh is not None:
+                from iterative_solvers_tpu.parallel.mesh import shard_field
+
+                b64 = shard_field(b64, self.mesh)
+                u64 = shard_field(u64, self.mesh) if u64 is not None else None
             res = refined_solve(
                 A,
                 A,
@@ -265,6 +291,12 @@ class DirichletSolver:
             r = b - A.crop(A(A.pad(x)))  # fused returns x already cropped
         else:
             r = b - A(x)
+        if self.mesh is not None:
+            from iterative_solvers_tpu.parallel.mesh import crop_field
+
+            x = crop_field(x, dom.grid_shape)
+            r = crop_field(r, dom.grid_shape)
+            u = crop_field(u, dom.grid_shape) if u is not None else None
         if self.operator_kind == "pallas":
             x, u, r = A.crop(x), (A.crop(u) if u is not None else None), A.crop(r)
         if self.operator_kind == "sparse":

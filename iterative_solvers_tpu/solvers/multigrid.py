@@ -316,6 +316,36 @@ class MultigridPreconditioner:
 
 
 @dataclass(frozen=True, eq=False)
+class ShardedMultigridPreconditioner:
+    """Multigrid V-cycle over mesh-sharded fields (parallel/mesh.py layout).
+
+    Sharded fields are padded at the high end to mesh-divisible shapes; the
+    V-cycle's transfer arithmetic needs the exact ``2^k·n + 1`` node extents,
+    so this adapter crops to the logical grid, runs the cycle, and zero-pads
+    back — all inside the jit trace, on global sharded arrays. XLA/GSPMD
+    propagates the block sharding through the strided slices and inserts the
+    (coarse-level, tiny) collectives automatically; the reference has no
+    distributed anything to compare against (SURVEY §2.4).
+    """
+
+    inner: MultigridPreconditioner
+    grid_shape: Tuple[int, ...]
+
+    @staticmethod
+    def from_domain(domain, mesh=None, **kwargs) -> "ShardedMultigridPreconditioner":
+        return ShardedMultigridPreconditioner(
+            inner=MultigridPreconditioner.from_domain(domain, **kwargs),
+            grid_shape=domain.grid_shape,
+        )
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        sl = tuple(slice(0, s) for s in self.grid_shape)
+        z = self.inner(r[sl])
+        pads = [(0, p - g) for p, g in zip(r.shape, self.grid_shape)]
+        return jnp.pad(z, pads)
+
+
+@dataclass(frozen=True, eq=False)
 class PaddedPreconditioner:
     """Adapter running an unpadded-field preconditioner under a padded-layout
     operator (kernels/stencil_pallas.py pads grids to tile multiples)."""

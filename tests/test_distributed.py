@@ -118,3 +118,80 @@ def test_padding_is_semantically_free():
     op = ShardedStencilOperator.from_domain(dom, mesh)
     m = np.asarray(op.interior)
     assert not m[31, :].any() and not m[:, 31].any()
+
+
+def test_sharded_multigrid_pcg_matches_local():
+    """Distributed MG-PCG (GSPMD V-cycle through the pad/crop adapter) takes
+    the same iteration path and solution as the single-device solver."""
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+    from iterative_solvers_tpu.parallel import make_sharded_problem
+    from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        ShardedMultigridPreconditioner,
+    )
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    dom = Domain2D(nx=64, ny=64)
+    prob = PoissonProblem.manufactured(dom)
+    mesh = make_solver_mesh(8)
+    op, b, u = make_sharded_problem(prob, mesh, jnp.float32)
+    M = ShardedMultigridPreconditioner.from_domain(dom, mesh)
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-4, max_iterations=100)
+    res = cg_solve(op, b, u_true=u, options=CGOptions(stop=stop, preconditioner=M))
+    assert res.converged and res.iterations <= 15
+
+    op1 = StencilOperator.from_domain(dom)
+    res1 = cg_solve(
+        op1,
+        prob.rhs_field(jnp.float32),
+        options=CGOptions(
+            stop=stop, preconditioner=MultigridPreconditioner.from_domain(dom)
+        ),
+    )
+    assert res.iterations == res1.iterations
+    x_sh = np.asarray(crop_field(res.x, dom.grid_shape))
+    np.testing.assert_allclose(x_sh, np.asarray(res1.x), atol=5e-5)
+
+
+def test_facade_mesh_mg():
+    """DirichletSolver(mesh=...) runs the whole stack distributed."""
+    from iterative_solvers_tpu.api import DirichletSolver
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    mesh = make_solver_mesh(8)
+    s = DirichletSolver(
+        nx=64,
+        ny=64,
+        preconditioner="mg",
+        mesh=mesh,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=50),
+    )
+    res = s.solve(record_history=False)
+    assert res.converged and res.iterations <= 15
+    s1 = DirichletSolver(
+        nx=64,
+        ny=64,
+        preconditioner="mg",
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=50),
+    )
+    res1 = s1.solve(record_history=False)
+    np.testing.assert_allclose(res.solution, res1.solution, atol=1e-4)
+
+
+def test_facade_mesh_mixed_precision():
+    from iterative_solvers_tpu.api import DirichletSolver
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    mesh = make_solver_mesh(8)
+    s = DirichletSolver(
+        nx=64,
+        ny=64,
+        preconditioner="mg",
+        precision="mixed",
+        mesh=mesh,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=10000),
+    )
+    res = s.solve(record_history=False)
+    assert res.converged and res.residual_norm < 1e-6
