@@ -190,6 +190,7 @@ class DirichletSolver:
         record_history: bool = True,
         callback_every: int = 100,
         state_callback: Optional[Callable] = None,
+        profiler=None,
     ) -> SolverResults:
         self._stop_event.clear()
         dom = self.domain
@@ -238,6 +239,7 @@ class DirichletSolver:
             stop_requested=self._stop_event.is_set,
             record_history=record_history,
             state_callback=state_callback,
+            profiler=profiler,
         )
         if self.precision == "mixed":
             import jax
@@ -268,6 +270,7 @@ class DirichletSolver:
                 preconditioner=M,
                 callback=callback,
                 stop_requested=self._stop_event.is_set,
+                profiler=profiler,
             )
             b, u = b64, u64
         elif self.operator_kind == "fused":

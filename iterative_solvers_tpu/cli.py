@@ -34,12 +34,20 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command")
 
     s = sub.add_parser("solve", help="solve a Dirichlet-Poisson problem")
+    s.add_argument("--config", metavar="FILE",
+                   help="JSON/TOML SolveConfig; explicit flags override it")
+    s.add_argument("--save-config", metavar="FILE",
+                   help="write the effective config as JSON and continue")
     s.add_argument("--nx", type=int, default=30, help="x intervals (reference n)")
     s.add_argument("--ny", type=int, default=30, help="y intervals (reference m)")
+    s.add_argument("--nz", type=int, default=0,
+                   help="z intervals; > 0 selects the 3D box problem")
     s.add_argument("--x0", type=float, default=1.0)
     s.add_argument("--x1", type=float, default=2.0)
     s.add_argument("--y0", type=float, default=1.0)
     s.add_argument("--y1", type=float, default=2.0)
+    s.add_argument("--z0", type=float, default=0.0)
+    s.add_argument("--z1", type=float, default=1.0)
     s.add_argument("--shape", choices=["gamma", "rect"], default="gamma")
     s.add_argument(
         "--operator",
@@ -75,9 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--save-3d", metavar="PATH", help="gnuplot x y z export")
     s.add_argument("--plots", metavar="DIR", help="write convergence/scatter/heatmap/surface PNGs")
     s.add_argument("--report", action="store_true", help="print the full text report")
+    s.add_argument("--profile", action="store_true",
+                   help="print per-phase timings + throughput to stderr")
+    s.add_argument("--trace-dir", metavar="DIR",
+                   help="capture a full XLA device trace (TensorBoard format)")
     s.add_argument("--quiet", action="store_true")
 
     sub.add_parser("version", help="print version")
+    p._solve_parser = s  # for --config default injection (see main())
     return p
 
 
@@ -99,34 +112,31 @@ def cmd_solve(args) -> int:
     import jax.numpy as jnp
 
     from iterative_solvers_tpu import results_io, viz
-    from iterative_solvers_tpu.api import DirichletSolver
-    from iterative_solvers_tpu.core.domain import Domain2D
+    from iterative_solvers_tpu.config import SolveConfig
     from iterative_solvers_tpu.core import ordering
-    from iterative_solvers_tpu.solvers.stopping import StopConfig
 
-    dtype = {"f32": jnp.float32, "f64": jnp.float64, None: None}[args.dtype]
-    stop = StopConfig(
-        eps_precision=args.eps_precision,
-        eps_residual=args.eps_residual,
-        eps_exact_error=args.eps_error,
-        eps_relative=args.eps_relative,
-        max_iterations=args.max_iter,
+    cfg = SolveConfig(
+        nx=args.nx, ny=args.ny, nz=args.nz,
+        x0=args.x0, x1=args.x1, y0=args.y0, y1=args.y1,
+        z0=args.z0, z1=args.z1, shape=args.shape,
+        operator=args.operator, beta=args.beta, precond=args.precond,
+        precision=args.precision, dtype=args.dtype,
+        eps_precision=args.eps_precision, eps_residual=args.eps_residual,
+        eps_error=args.eps_error, eps_relative=args.eps_relative,
+        max_iter=args.max_iter,
     )
+    if args.save_config:
+        cfg.save(args.save_config)
+        if not args.quiet:
+            print(f"config written to {args.save_config}", file=sys.stderr)
+    stop = cfg.stop_config()
     if not stop.any_enabled and not args.quiet:
         # reference GUI validates ">= 1 criterion" (mainwindow.cpp:211-216)
         print("note: no stop criterion enabled; running to --max-iter", file=sys.stderr)
 
-    dom = Domain2D(nx=args.nx, ny=args.ny, x0=args.x0, x1=args.x1,
-                   y0=args.y0, y1=args.y1, shape=args.shape)
-    solver = DirichletSolver(
-        domain=dom,
-        operator=args.operator,
-        dtype=dtype,
-        stop=stop,
-        beta_kind=args.beta,
-        preconditioner=args.precond,
-        precision=args.precision,
-    )
+    dom = cfg.make_domain()
+    dtype = {"f32": jnp.float32, "f64": jnp.float64, None: None}[args.dtype]
+    solver = cfg.make_solver()
 
     callback = None
     if args.progress_every > 0 and not args.quiet:
@@ -138,7 +148,29 @@ def cmd_solve(args) -> int:
                 file=sys.stderr,
             )
 
-    res = solver.solve(callback=callback, callback_every=max(1, args.progress_every))
+    profiler = None
+    if args.profile or args.trace_dir:
+        from iterative_solvers_tpu.profiling import Profiler
+
+        profiler = Profiler()
+
+    def run():
+        return solver.solve(
+            callback=callback,
+            callback_every=max(1, args.progress_every),
+            profiler=profiler,
+        )
+
+    if args.trace_dir:
+        with profiler.device_trace(args.trace_dir):
+            res = run()
+        if not args.quiet:
+            print(f"device trace written to {args.trace_dir}/", file=sys.stderr)
+    else:
+        res = run()
+
+    if profiler is not None:
+        print(profiler.report(), file=sys.stderr)
 
     if args.report or not args.quiet:
         print(res.report())
@@ -168,6 +200,17 @@ def cmd_solve(args) -> int:
 def main(argv: Optional[List[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if getattr(args, "config", None):
+        # Config-file values become defaults; explicit flags still win.
+        from iterative_solvers_tpu.config import SolveConfig
+
+        cfg = SolveConfig.load(args.config)
+        parser2 = build_parser()
+        # Defaults must be set on the SUBPARSER: since Python 3.7 subparsers
+        # parse into a fresh namespace and overwrite parent-namespace values,
+        # so pre-populating the namespace would not survive.
+        parser2._solve_parser.set_defaults(**cfg.to_dict())
+        args = parser2.parse_args(argv)
     if args.command == "version":
         from iterative_solvers_tpu import __version__
 

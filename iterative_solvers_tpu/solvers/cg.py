@@ -239,6 +239,8 @@ class CGOptions:
     # driver's host protocol (callbacks, interrupt, checkpointing, result
     # assembly) is reused around it unchanged.
     chunk_fn: Optional[Callable] = None
+    # Observability (profiling.py): per-phase timings + iteration counters.
+    profiler: Optional[Any] = None
 
 
 @dataclass
@@ -281,9 +283,15 @@ def cg_solve(
     :func:`iterative_solvers_tpu.solvers.checkpoint.load_cg_state`) to resume
     a previous run. Returns a :class:`CGResult`.
     """
+    import contextlib
+
     opts = options or CGOptions()
     stop = opts.stop
     M = opts.preconditioner
+    prof = opts.profiler
+    phase = prof.phase if prof is not None else (lambda name: contextlib.nullcontext())
+    if prof is not None and hasattr(A, "nnz"):
+        prof.counters.setdefault("nnz_per_apply", float(A.nnz()))
 
     t0 = time.perf_counter()
     if init_state is not None:
@@ -359,14 +367,21 @@ def cg_solve(
             k_stop = 1 if k == 0 else min((k // cb_every + 1) * cb_every, max_iter)
         else:
             k_stop = min(k + chunk, max_iter)
-        if opts.chunk_fn is not None:
-            state = opts.chunk_fn(state, u_true, jnp.asarray(k_stop, jnp.int32))
-        else:
-            state = _cg_chunk(
-                A, M, stop, opts.beta_kind, state, u_true, jnp.asarray(k_stop, jnp.int32)
-            )
-        # One packed transfer per chunk — never per-scalar round-trips.
-        k, done, reason_code, prec, rmax, emax, r2, r0n = _sync_stats(state)
+        k_prev = k
+        with phase("cg_chunk"):
+            if opts.chunk_fn is not None:
+                state = opts.chunk_fn(state, u_true, jnp.asarray(k_stop, jnp.int32))
+            else:
+                state = _cg_chunk(
+                    A, M, stop, opts.beta_kind, state, u_true, jnp.asarray(k_stop, jnp.int32)
+                )
+            # One packed transfer per chunk — never per-scalar round-trips.
+            # (The fetch also forces chunk completion, so the phase timing is
+            # the real device time, not async-dispatch time.)
+            k, done, reason_code, prec, rmax, emax, r2, r0n = _sync_stats(state)
+        if prof is not None:
+            prof.count("iterations", k - k_prev)
+            prof.count("operator_applies", k - k_prev)
         if opts.state_callback is not None:
             opts.state_callback(state)
         if done:

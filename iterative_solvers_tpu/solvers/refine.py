@@ -81,6 +81,7 @@ def refined_solve(
     escalate_ratio: float = 0.05,
     callback: Optional[Callable[[int, float, float, float], None]] = None,
     stop_requested: Optional[Callable[[], bool]] = None,
+    profiler=None,
 ) -> RefinedResult:
     """Solve ``A x = b`` to high-precision stopping criteria via mixed-precision
     iterative refinement.
@@ -108,6 +109,11 @@ def refined_solve(
         )
     t0 = time.perf_counter()
 
+    import contextlib
+
+    phase = (
+        profiler.phase if profiler is not None else (lambda name: contextlib.nullcontext())
+    )
     inner_stop = StopConfig(
         eps_precision=-1.0,
         eps_residual=-1.0,
@@ -115,7 +121,9 @@ def refined_solve(
         eps_relative=inner_rel_tol,
         max_iterations=inner_max_iter,
     )
-    inner_opts = CGOptions(stop=inner_stop, preconditioner=preconditioner)
+    inner_opts = CGOptions(
+        stop=inner_stop, preconditioner=preconditioner, profiler=profiler
+    )
 
     x = jnp.zeros_like(b)
     r = b
@@ -166,15 +174,16 @@ def refined_solve(
             reason = StopReason.INTERRUPTED
             break
 
-        inner = cg_solve(A_lo, r.astype(cur_dtype), options=inner_opts)
+        with phase("inner_solve"):
+            inner = cg_solve(A_lo, r.astype(cur_dtype), options=inner_opts)
         d = inner.x.astype(b.dtype)
-        x = x + d
-        r = b - A_hi(x)  # true residual, f64
-
-        total_inner += inner.iterations
-        inner_counts.append(inner.iterations)
-        # one packed transfer for all outer-progress scalars
-        stats = np.asarray(_outer_stats(r, d, x, u_true))
+        with phase("outer_residual"):
+            x = x + d
+            r = b - A_hi(x)  # true residual, f64
+            total_inner += inner.iterations
+            inner_counts.append(inner.iterations)
+            # one packed transfer for all outer-progress scalars
+            stats = np.asarray(_outer_stats(r, d, x, u_true))
         r_max_new, prec_max = float(stats[0]), float(stats[1])
         r_norm = math.sqrt(max(float(stats[3]), 0.0))
         if u_true is not None:
