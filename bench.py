@@ -177,8 +177,187 @@ def _bench_solve(n: int, on_tpu: bool) -> None:
     )
 
 
+def _bench_solve_3d(n: int) -> None:
+    """BASELINE config '3D Poisson 512³ 7-point': single-chip slice of it —
+    mixed-precision MG-IR vs plain CG at the largest single-chip size.
+    (512³ itself is the multi-host config; the jnp 3D stencil also wants a
+    Pallas kernel before 512³ is worth timing — see NOTES_PERF.md.)"""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+    from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
+    from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+    from iterative_solvers_tpu.solvers.refine import refined_solve
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    dom = Domain3D(nx=n, ny=n, nz=n)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom)
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-6, max_iterations=100000
+    )
+    b64 = prob.rhs_field(jnp.float64)
+    refined_solve(op, op, b64, stop=stop, preconditioner=M)  # compile
+    t0 = time.perf_counter()
+    res = refined_solve(op, op, b64, stop=stop, preconditioner=M)
+    t_mg = time.perf_counter() - t0
+    rel = res.residual_norm / res.initial_residual_norm
+    assert res.converged and rel < 1e-6
+
+    b32 = prob.rhs_field(jnp.float32)
+    cg_solve(op, b32, options=CGOptions(stop=stop))  # compile
+    t0 = time.perf_counter()
+    plain = cg_solve(op, prob.rhs_field(jnp.float32), options=CGOptions(stop=stop))
+    t_plain = time.perf_counter() - t0
+    print(
+        f"bench 3d: n={n}^3 mg_ir={t_mg:.2f}s rel={rel:.2e} "
+        f"plain_cg={t_plain:.2f}s ({plain.iterations} iters)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"cg3d_time_to_true_rel_1e-6_{n}^3",
+                "value": t_mg,
+                "unit": "s",
+                "vs_baseline": t_plain / t_mg,
+            }
+        )
+    )
+
+
+def _bench_csr_vs_matrix_free(n: int) -> None:
+    """BASELINE config '1024² explicit CSR SpMV CG vs matrix-free path':
+    time both operator paths through the same CG driver to the same
+    iteration count; vs_baseline = csr_time / matrix_free_time."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.core.domain import Domain2D
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.core import ordering
+    from iterative_solvers_tpu.ops.sparse import SparseOperator
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+    from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    dom = Domain2D(nx=n, ny=n)
+    prob = PoissonProblem.manufactured(dom)
+    iters = 200
+    stop = StopConfig(max_iterations=iters).disable_all_but_iterations()
+    opts = CGOptions(stop=stop)
+
+    op_mf = StencilOperator.from_domain(dom)
+    b = prob.rhs_field(jnp.float32)
+    cg_solve(op_mf, b, options=opts)  # compile
+    t0 = time.perf_counter()
+    r_mf = cg_solve(op_mf, b, options=opts)
+    t_mf = time.perf_counter() - t0
+
+    op_csr = SparseOperator.from_domain(dom, jnp.float32)
+    bc = ordering.pack(b, dom)
+    cg_solve(op_csr, bc, options=opts)  # compile
+    t0 = time.perf_counter()
+    r_csr = cg_solve(op_csr, bc, options=opts)
+    t_csr = time.perf_counter() - t0
+    assert r_mf.iterations == r_csr.iterations == iters
+    print(
+        f"bench csr: n={n} matrix_free={t_mf:.3f}s csr={t_csr:.3f}s "
+        f"({iters} iterations each)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"matrix_free_vs_csr_cg_{n}x{n}",
+                "value": t_mf / iters * 1e3,
+                "unit": "ms/iteration (matrix-free)",
+                "vs_baseline": t_csr / t_mf,
+            }
+        )
+    )
+
+
+def _bench_scaling() -> None:
+    """BASELINE config 'row-partitioned across hosts': weak-scaling check of
+    the halo-exchange CG on every available device vs one device. With one
+    real chip this degenerates to 1.0 by construction; on a multi-chip slice
+    (or the 8-device virtual CPU mesh) it measures real efficiency:
+    eff = T(1 device, n²) / T(D devices, (n·sqrt(D))²)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.core.domain import Domain2D
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+    from iterative_solvers_tpu.parallel import make_solver_mesh, make_sharded_problem
+    from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    devs = jax.devices()
+    d = len(devs)
+    n1 = int(os.environ.get("BENCH_N_SCALE", "1024" if devs[0].platform != "cpu" else "128"))
+    iters = 100
+    stop = StopConfig(max_iterations=iters).disable_all_but_iterations()
+    opts = CGOptions(stop=stop)
+
+    def run(n, mesh_devices):
+        dom = Domain2D(nx=n, ny=n)
+        prob = PoissonProblem.manufactured(dom)
+        if len(mesh_devices) == 1:
+            op = StencilOperator.from_domain(dom)
+            b = prob.rhs_field(jnp.float32)
+        else:
+            mesh = make_solver_mesh(devices=mesh_devices)
+            op, b, _ = make_sharded_problem(prob, mesh, jnp.float32)
+        cg_solve(op, b, options=opts)  # compile
+        t0 = time.perf_counter()
+        cg_solve(op, b, options=opts)
+        return time.perf_counter() - t0
+
+    if d == 1:
+        # one device: the two runs would be the same measurement; report the
+        # trivial efficiency rather than timer noise
+        t1 = td = run(n1, devs[:1])
+        nd, eff = n1, 1.0
+    else:
+        t1 = run(n1, devs[:1])
+        nd = int(n1 * math.sqrt(d))
+        nd -= nd % 2  # keep the Г-mask legal
+        td = run(nd, devs)
+        eff = t1 / td
+    print(
+        f"bench scale: devices={d} t({n1}²,1dev)={t1:.3f}s "
+        f"t({nd}²,{d}dev)={td:.3f}s weak-scaling eff={eff:.2f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"weak_scaling_efficiency_1_to_{d}_devices",
+                "value": eff,
+                "unit": "ratio",
+                "vs_baseline": eff / 0.85,  # target >= 85% (BASELINE.md)
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize pre-sets jax_platforms at interpreter start,
+        # so the env var alone would be silently ignored
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from iterative_solvers_tpu.core.domain import Domain2D
@@ -194,6 +373,15 @@ def main() -> None:
         return
     if mode == "solve":
         _bench_solve(n, on_tpu)
+        return
+    if mode == "3d":
+        _bench_solve_3d(int(os.environ.get("BENCH_N_3D", "256" if on_tpu else "32")))
+        return
+    if mode == "csr":
+        _bench_csr_vs_matrix_free(int(os.environ.get("BENCH_N_CSR", "1024" if on_tpu else "128")))
+        return
+    if mode == "scale":
+        _bench_scaling()
         return
 
     dom = Domain2D(nx=n, ny=n)

@@ -101,9 +101,14 @@ def _sync_stats(state: "CGState"):
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(4,))
 def _cg_chunk(A, M, stop: StopConfig, beta_kind: str, state: CGState, u_true, k_stop):
-    """Run CG iterations until a stop criterion fires or k reaches k_stop."""
+    """Run CG iterations until a stop criterion fires or k reaches k_stop.
+
+    The state is donated: x/r/z buffers are reused in place across chunks,
+    which matters at scale (three 0.5-1 GB fields at 8192²/512³). The driver
+    (cg_solve) rebinds its only reference on return; a user-held init_state
+    is defensively copied there."""
 
     big = jnp.asarray(jnp.inf, state.r.dtype)
 
@@ -295,19 +300,24 @@ def cg_solve(
 
     t0 = time.perf_counter()
     if init_state is not None:
-        state = init_state
+        # _cg_chunk donates the state; keep the caller's arrays alive
+        state = jax.tree.map(jnp.copy, init_state)
         r0_norm = state.r0_norm
         r_max0, err0 = state.r_max, state.err_max
         r2_0 = state.r_norm2
     else:
         if x0 is None:
             x = jnp.zeros_like(b)
-            r = b  # reference: x0 = 0 ⇒ r = b (msg_solver.cpp:33-39)
+            # reference: x0 = 0 ⇒ r = b (msg_solver.cpp:33-39); copied because
+            # the chunk donates the state and must not eat the caller's b
+            r = jnp.copy(b)
         else:
-            x = x0
+            x = jnp.copy(x0)  # donated below; keep the caller's x0 alive
             r = b - A(x0)
 
-        z = M(r) if M is not None else r
+        # z must be a distinct buffer: the chunk donates the whole state, and
+        # aliased r/z would be donated twice
+        z = M(r) if M is not None else jnp.copy(r)
         rz0 = _dot(r, z)
         r2_0 = _dot(r, r)
         r_max0 = _maxabs(r)
