@@ -101,6 +101,40 @@ def _sync_stats(state: "CGState"):
     )
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _cg_init(A, M, b, x0, u_true) -> CGState:
+    """Initial CG state as ONE compiled program. Eager construction would
+    dispatch every init op (including a whole preconditioner application)
+    individually — hundreds of tunnel round-trips on a remote TPU."""
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b  # reference: x0 = 0 ⇒ r = b (msg_solver.cpp:33-39)
+    else:
+        x = x0
+        r = b - A(x0)
+    z = M(r) if M is not None else jnp.copy(r)
+    rz0 = _dot(r, z)
+    r2_0 = _dot(r, r)
+    err0 = _maxabs(x - u_true) if u_true is not None else jnp.asarray(jnp.inf, b.dtype)
+    # jit outputs are fresh buffers, so the r/z/b aliasing above is safe under
+    # the chunk's donation (no two state leaves share a buffer, and the
+    # caller's b/x0 stay alive)
+    return CGState(
+        x=x,
+        r=r,
+        z=z,
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
+        rz=rz0,
+        r_norm2=r2_0,
+        prec_max=jnp.asarray(jnp.inf, b.dtype),
+        r_max=_maxabs(r),
+        err_max=err0,
+        r0_norm=jnp.sqrt(r2_0),
+    )
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(4,))
 def _cg_chunk(A, M, stop: StopConfig, beta_kind: str, state: CGState, u_true, k_stop):
     """Run CG iterations until a stop criterion fires or k reaches k_stop.
@@ -295,49 +329,18 @@ def cg_solve(
     M = opts.preconditioner
     prof = opts.profiler
     phase = prof.phase if prof is not None else (lambda name: contextlib.nullcontext())
-    if prof is not None and hasattr(A, "nnz"):
-        prof.counters.setdefault("nnz_per_apply", float(A.nnz()))
+    if prof is not None and "nnz_per_apply" not in prof.counters and hasattr(A, "nnz"):
+        # guard, don't setdefault: nnz() pulls the interior mask to the host
+        # (tens of MB over a TPU tunnel) and must run at most once
+        prof.counters["nnz_per_apply"] = float(A.nnz())
 
     t0 = time.perf_counter()
     if init_state is not None:
         # _cg_chunk donates the state; keep the caller's arrays alive
         state = jax.tree.map(jnp.copy, init_state)
-        r0_norm = state.r0_norm
-        r_max0, err0 = state.r_max, state.err_max
-        r2_0 = state.r_norm2
     else:
-        if x0 is None:
-            x = jnp.zeros_like(b)
-            # reference: x0 = 0 ⇒ r = b (msg_solver.cpp:33-39); copied because
-            # the chunk donates the state and must not eat the caller's b
-            r = jnp.copy(b)
-        else:
-            x = jnp.copy(x0)  # donated below; keep the caller's x0 alive
-            r = b - A(x0)
-
-        # z must be a distinct buffer: the chunk donates the whole state, and
-        # aliased r/z would be donated twice
-        z = M(r) if M is not None else jnp.copy(r)
-        rz0 = _dot(r, z)
-        r2_0 = _dot(r, r)
-        r_max0 = _maxabs(r)
-        err0 = _maxabs(x - u_true) if u_true is not None else jnp.asarray(jnp.inf, b.dtype)
-        r0_norm = jnp.sqrt(r2_0)
-
-        state = CGState(
-            x=x,
-            r=r,
-            z=z,
-            k=jnp.asarray(0, jnp.int32),
-            done=jnp.asarray(False),
-            reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
-            rz=rz0,
-            r_norm2=r2_0,
-            prec_max=jnp.asarray(jnp.inf, b.dtype),
-            r_max=r_max0,
-            err_max=err0,
-            r0_norm=r0_norm,
-        )
+        with phase("setup"):
+            state = _cg_init(A, M, b, x0, u_true)
 
     history: List[Tuple[float, ...]] = []
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, List, Optional
 
 import jax.numpy as jnp
@@ -52,6 +53,24 @@ def _outer_stats(r, d, x, u_true):
         else jnp.asarray(jnp.inf, r.dtype)
     )
     return jnp.stack([jnp.max(jnp.abs(r)), jnp.max(jnp.abs(d)), e, jnp.sum(r * r)])
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _outer_update(A_hi, x, d_lo, b, u_true):
+    """One refinement step as ONE compiled program: promote the correction,
+    accumulate, evaluate the true high-precision residual, pack the progress
+    scalars. Eagerly this would be dozens of dispatches (the f64 stencil
+    alone is ~10 ops) — each a tunnel round-trip on a remote TPU."""
+    d = d_lo.astype(b.dtype)
+    x = x + d
+    r = b - A_hi(x)
+    e = (
+        jnp.max(jnp.abs(x - u_true))
+        if u_true is not None
+        else jnp.asarray(jnp.inf, r.dtype)
+    )
+    stats = jnp.stack([jnp.max(jnp.abs(r)), jnp.max(jnp.abs(d)), e, jnp.sum(r * r)])
+    return x, r, stats
 
 
 @dataclass
@@ -176,14 +195,12 @@ def refined_solve(
 
         with phase("inner_solve"):
             inner = cg_solve(A_lo, r.astype(cur_dtype), options=inner_opts)
-        d = inner.x.astype(b.dtype)
         with phase("outer_residual"):
-            x = x + d
-            r = b - A_hi(x)  # true residual, f64
+            # accumulate + true residual + stats: one program, one transfer
+            x, r, stats_dev = _outer_update(A_hi, x, inner.x, b, u_true)
             total_inner += inner.iterations
             inner_counts.append(inner.iterations)
-            # one packed transfer for all outer-progress scalars
-            stats = np.asarray(_outer_stats(r, d, x, u_true))
+            stats = np.asarray(stats_dev)
         r_max_new, prec_max = float(stats[0]), float(stats[1])
         r_norm = math.sqrt(max(float(stats[3]), 0.0))
         if u_true is not None:
