@@ -210,10 +210,14 @@ def _bench_solve_3d(n: int) -> None:
     rel = res.residual_norm / res.initial_residual_norm
     assert res.converged and rel < 1e-6
 
-    b32 = prob.rhs_field(jnp.float32)
-    cg_solve(op, b32, options=CGOptions(stop=stop))  # compile
+    # plain CG gets the best plain engine: the Pallas 7-point kernel
+    from iterative_solvers_tpu.kernels.stencil3d_pallas import Pallas3DStencilOperator
+
+    pop = Pallas3DStencilOperator.from_domain(dom)
+    b32 = pop.pad(prob.rhs_field(jnp.float32))
+    cg_solve(pop, b32, options=CGOptions(stop=stop))  # compile
     t0 = time.perf_counter()
-    plain = cg_solve(op, prob.rhs_field(jnp.float32), options=CGOptions(stop=stop))
+    plain = cg_solve(pop, pop.pad(prob.rhs_field(jnp.float32)), options=CGOptions(stop=stop))
     t_plain = time.perf_counter() - t0
     print(
         f"bench 3d: n={n}^3 mg_ir={t_mg:.2f}s rel={rel:.2e} "
@@ -279,6 +283,55 @@ def _bench_csr_vs_matrix_free(n: int) -> None:
                 "value": t_mf / iters * 1e3,
                 "unit": "ms/iteration (matrix-free)",
                 "vs_baseline": t_csr / t_mf,
+            }
+        )
+    )
+
+
+def _bench_precond(n: int) -> None:
+    """BASELINE config '4096² Jacobi/Chebyshev-preconditioned CG with fused
+    Pallas kernels': Chebyshev-PCG on the Pallas stencil operator vs plain CG
+    on the same operator, fixed-tolerance race (recurrence rel 1e-6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.core.domain import Domain2D
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
+    from iterative_solvers_tpu.solvers.precond import ChebyshevPreconditioner
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    dom = Domain2D(nx=n, ny=n)
+    prob = PoissonProblem.manufactured(dom)
+    op = PallasStencilOperator.from_domain(dom)
+    b = op.pad(prob.rhs_field(jnp.float32))
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-6, max_iterations=100000
+    )
+    M = ChebyshevPreconditioner.from_domain(op, dom, degree=8)
+
+    cg_solve(op, b, options=CGOptions(stop=stop, preconditioner=M))  # compile
+    t0 = time.perf_counter()
+    pcg = cg_solve(op, b, options=CGOptions(stop=stop, preconditioner=M))
+    t_pcg = time.perf_counter() - t0
+
+    cg_solve(op, b, options=CGOptions(stop=stop))  # compile
+    t0 = time.perf_counter()
+    plain = cg_solve(op, b, options=CGOptions(stop=stop))
+    t_plain = time.perf_counter() - t0
+    print(
+        f"bench precond: n={n} chebyshev8_pcg={t_pcg:.2f}s ({pcg.iterations} iters) "
+        f"plain={t_plain:.2f}s ({plain.iterations} iters)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"chebyshev_pcg_time_rel_1e-6_{n}x{n}",
+                "value": t_pcg,
+                "unit": "s",
+                "vs_baseline": t_plain / t_pcg,
             }
         )
     )
@@ -379,6 +432,9 @@ def main() -> None:
         return
     if mode == "csr":
         _bench_csr_vs_matrix_free(int(os.environ.get("BENCH_N_CSR", "1024" if on_tpu else "128")))
+        return
+    if mode == "precond":
+        _bench_precond(int(os.environ.get("BENCH_N_PRECOND", "4096" if on_tpu else "128")))
         return
     if mode == "scale":
         _bench_scaling()

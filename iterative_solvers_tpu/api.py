@@ -174,11 +174,22 @@ class DirichletSolver:
             elif self.operator_kind == "sparse":
                 self._op = SparseOperator.from_domain(self.domain, self.dtype)
             elif self.operator_kind in ("pallas", "fused"):
-                from iterative_solvers_tpu.kernels.stencil_pallas import (
-                    PallasStencilOperator,
-                )
+                if isinstance(self.domain, Domain3D):
+                    if self.operator_kind == "fused":
+                        raise ValueError("the fused CG engine is 2D-only")
+                    from iterative_solvers_tpu.kernels.stencil3d_pallas import (
+                        Pallas3DStencilOperator,
+                    )
 
-                self._op = PallasStencilOperator.from_domain(self.domain, self.dtype)
+                    self._op = Pallas3DStencilOperator.from_domain(
+                        self.domain, self.dtype
+                    )
+                else:
+                    from iterative_solvers_tpu.kernels.stencil_pallas import (
+                        PallasStencilOperator,
+                    )
+
+                    self._op = PallasStencilOperator.from_domain(self.domain, self.dtype)
             else:
                 self._op = StencilOperator.from_domain(self.domain, self.dtype)
         return self._op

@@ -179,24 +179,32 @@ def _cg_chunk(A, M, stop: StopConfig, beta_kind: str, state: CGState, u_true, k_
             if stop.eps_relative > 0
             else false
         )
+        # Failure detection (no analogue in the reference): a non-finite
+        # residual norm means the recurrence blew up (indefinite operator,
+        # overflow) — stop immediately instead of iterating on NaNs.
+        done_div = ~jnp.isfinite(r2)
         reason = jnp.where(
-            done_p,
-            int(StopReason.PRECISION),
+            done_div,
+            int(StopReason.DIVERGED),
             jnp.where(
-                done_r,
-                int(StopReason.RESIDUAL),
+                done_p,
+                int(StopReason.PRECISION),
                 jnp.where(
-                    done_e,
-                    int(StopReason.EXACT_ERROR),
+                    done_r,
+                    int(StopReason.RESIDUAL),
                     jnp.where(
-                        done_rel,
-                        int(StopReason.RELATIVE_RESIDUAL),
-                        int(StopReason.ITERATIONS),
+                        done_e,
+                        int(StopReason.EXACT_ERROR),
+                        jnp.where(
+                            done_rel,
+                            int(StopReason.RELATIVE_RESIDUAL),
+                            int(StopReason.ITERATIONS),
+                        ),
                     ),
                 ),
             ),
         ).astype(jnp.int32)
-        done = done_p | done_r | done_e | done_rel
+        done = done_p | done_r | done_e | done_rel | done_div
 
         # Direction update.
         if M is None:

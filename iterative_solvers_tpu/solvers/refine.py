@@ -205,6 +205,10 @@ def refined_solve(
         r_norm = math.sqrt(max(float(stats[3]), 0.0))
         if u_true is not None:
             err_max = float(stats[2])
+        if not math.isfinite(r_max_new):
+            r_max = r_max_new
+            reason = StopReason.DIVERGED
+            break
         if (
             escalate
             and not escalated

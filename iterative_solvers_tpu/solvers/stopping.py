@@ -26,6 +26,7 @@ class StopReason(IntEnum):
     EXACT_ERROR = 3
     INTERRUPTED = 4
     RELATIVE_RESIDUAL = 5
+    DIVERGED = 6  # non-finite residual — failure detection (absent in reference)
 
     @property
     def converged(self) -> bool:
@@ -49,6 +50,7 @@ class StopReason(IntEnum):
             StopReason.EXACT_ERROR: "exact error ||x-u||_inf below eps",
             StopReason.INTERRUPTED: "interrupted by user",
             StopReason.RELATIVE_RESIDUAL: "relative residual ||r||_2/||r0||_2 below eps",
+            StopReason.DIVERGED: "diverged: residual became non-finite",
         }[self]
 
 

@@ -300,3 +300,26 @@ def test_x0_warm_start():
         options=CGOptions(stop=StopConfig(eps_residual=1e-6, eps_precision=-1)),
     )
     assert res1.iterations <= 1
+
+
+def test_divergence_detection():
+    """A breakdown (here: the zero operator ⇒ alpha = rz/0) must stop with
+    DIVERGED instead of iterating on NaNs — failure detection the reference
+    lacks (SURVEY §5)."""
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.solvers.stopping import StopReason
+
+    dom = Domain2D(nx=8, ny=8)
+    zero_op = StencilOperator(
+        interior=jnp.asarray(dom.interior), coeffs=(0.0, 0.0, 0.0)
+    )
+    b = PoissonProblem.manufactured(dom).rhs_field()
+    res = cg_solve(
+        zero_op,
+        b,
+        options=CGOptions(stop=StopConfig(max_iterations=100)),
+    )
+    assert res.reason == StopReason.DIVERGED
+    assert not res.converged
+    assert res.iterations <= 2
