@@ -18,6 +18,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "assembly.cpp")
+_SRC_TEXTIO = os.path.join(_HERE, "textio.cpp")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -26,20 +27,21 @@ _load_failed = False
 _SHAPE_CODES = {"rect": 0, "gamma": 1}
 
 
-def _cache_path() -> str:
-    st = os.stat(_SRC)
+def _cache_path(src: str = _SRC) -> str:
+    st = os.stat(src)
+    base = os.path.splitext(os.path.basename(src))[0]
     key = f"{int(st.st_mtime)}_{st.st_size}"
     cache_dir = os.environ.get(
         "ISTPU_NATIVE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "iterative_solvers_tpu"),
     )
     os.makedirs(cache_dir, exist_ok=True)
-    return os.path.join(cache_dir, f"libassembly_{key}.so")
+    return os.path.join(cache_dir, f"lib{base}_{key}.so")
 
 
-def _build(so_path: str) -> None:
+def _build(so_path: str, src: str = _SRC) -> None:
     cxx = os.environ.get("CXX", "g++")
-    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", so_path + ".tmp"]
+    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so_path + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     os.replace(so_path + ".tmp", so_path)
 
@@ -138,3 +140,83 @@ def node_coords_native(domain) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         xs, ys,
     )
     return xs, ys
+
+
+# --- bulk text IO engine (textio.cpp) ----------------------------------------
+
+_textio_lock = threading.Lock()
+_textio_lib: Optional[ctypes.CDLL] = None
+_textio_failed = False
+
+
+def _load_textio() -> Optional[ctypes.CDLL]:
+    global _textio_lib, _textio_failed
+    if _textio_lib is not None or _textio_failed:
+        return _textio_lib
+    with _textio_lock:
+        if _textio_lib is not None or _textio_failed:
+            return _textio_lib
+        try:
+            so = _cache_path(_SRC_TEXTIO)
+            if not os.path.exists(so):
+                _build(so, _SRC_TEXTIO)
+            lib = ctypes.CDLL(so)
+            i64 = ctypes.c_int64
+            pf64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            pc = ctypes.c_char_p
+            lib.ist_format_doubles.restype = i64
+            lib.ist_format_doubles.argtypes = [pf64, i64, ctypes.c_void_p, i64]
+            lib.ist_format_xyz.restype = i64
+            lib.ist_format_xyz.argtypes = [pf64, pf64, pf64, i64, ctypes.c_void_p, i64]
+            lib.ist_parse_doubles.restype = i64
+            lib.ist_parse_doubles.argtypes = [
+                pc, i64, pf64, i64, ctypes.POINTER(i64)
+            ]
+            _textio_lib = lib
+        except Exception as e:
+            print(f"iterative_solvers_tpu: native textio unavailable ({e}); "
+                  "using NumPy fallback", file=sys.stderr)
+            _textio_failed = True
+    return _textio_lib
+
+
+def format_doubles(values: np.ndarray) -> Optional[bytes]:
+    """One '%.17e\\n' line per value, or None when the engine is unavailable."""
+    lib = _load_textio()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(np.asarray(values, dtype=np.float64).ravel())
+    cap = 32 * max(len(v), 1)
+    buf = ctypes.create_string_buffer(cap)
+    n = int(lib.ist_format_doubles(v, len(v), buf, cap))
+    if n < 0:
+        return None
+    return buf.raw[:n]
+
+
+def format_xyz(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> Optional[bytes]:
+    lib = _load_textio()
+    if lib is None:
+        return None
+    xs = np.ascontiguousarray(np.asarray(x, np.float64).ravel())
+    ys = np.ascontiguousarray(np.asarray(y, np.float64).ravel())
+    zs = np.ascontiguousarray(np.asarray(z, np.float64).ravel())
+    n = min(len(xs), len(ys), len(zs))
+    cap = 96 * max(n, 1)
+    buf = ctypes.create_string_buffer(cap)
+    w = int(lib.ist_format_xyz(xs, ys, zs, n, buf, cap))
+    if w < 0:
+        return None
+    return buf.raw[:w]
+
+
+def parse_doubles(text: bytes, cap: int) -> Optional[Tuple[np.ndarray, int]]:
+    """(values, bytes_consumed) parsed from the head of ``text`` — stops at
+    the first non-numeric token. None when the engine is unavailable."""
+    lib = _load_textio()
+    if lib is None:
+        return None
+    out = np.zeros(max(cap, 1), dtype=np.float64)
+    consumed = ctypes.c_int64(0)
+    n = int(lib.ist_parse_doubles(text, len(text), out, cap, ctypes.byref(consumed)))
+    return out[:n], int(consumed.value)

@@ -29,6 +29,41 @@ _SECTIONS = [
 ]
 
 
+def _format_block(values) -> str:
+    """Bulk '%.17e' lines — native C++ engine when available (native/textio.cpp;
+    the hot loop of results IO at large grids), NumPy/Python fallback."""
+    from iterative_solvers_tpu.native import loader
+
+    v = np.asarray(values, dtype=np.float64).ravel()
+    raw = loader.format_doubles(v)
+    if raw is not None:
+        return raw.decode("ascii")
+    return "".join(f"{x:.17e}\n" for x in v)
+
+
+def _parse_block(text: str, cap: int) -> Tuple[np.ndarray, int]:
+    """(values, chars consumed) from the head of ``text``; stops at the first
+    non-numeric token (the next section header)."""
+    from iterative_solvers_tpu.native import loader
+
+    out = loader.parse_doubles(text.encode("ascii"), cap)
+    if out is not None:
+        return out
+    vals: List[float] = []
+    pos = 0
+    for line in text.splitlines(keepends=True):
+        s = line.strip()
+        if s:
+            try:
+                vals.append(float(s))
+            except ValueError:
+                break
+        pos += len(line)
+        if len(vals) >= cap:
+            break
+    return np.asarray(vals), pos
+
+
 def save_results(path: str, results, solver_name: str = "MSG (conjugate gradient, TPU)") -> None:
     with open(path, "w") as f:
         f.write("PARAMETERS\n")
@@ -57,8 +92,7 @@ def save_results(path: str, results, solver_name: str = "MSG (conjugate gradient
             vectors.append(results.z_coords)
         for name, vec in zip(names, vectors):
             f.write(f"{name}\n")
-            for v in np.asarray(vec).ravel():
-                f.write(f"{v:.17e}\n")
+            f.write(_format_block(vec))
 
 
 def load_results(path: str):
@@ -66,45 +100,51 @@ def load_results(path: str):
     from iterative_solvers_tpu.api import SolverResults
 
     with open(path) as f:
-        lines = [ln.rstrip("\n") for ln in f]
-    it = iter(range(len(lines)))
+        text = f.read()
 
-    def expect(i, name):
-        if lines[i] != name:
-            raise ValueError(f"{path}:{i + 1}: expected section {name!r}, got {lines[i]!r}")
+    pos = 0
 
-    expect(0, "PARAMETERS")
-    dims = [int(v) for v in lines[1].split()]
+    def next_line() -> str:
+        nonlocal pos
+        e = text.find("\n", pos)
+        if e == -1:
+            e = len(text)
+        s = text[pos:e]
+        pos = min(e + 1, len(text))
+        return s
+
+    def expect(line, name):
+        if line != name:
+            raise ValueError(f"{path}: expected section {name!r}, got {line!r}")
+
+    expect(next_line(), "PARAMETERS")
+    dims = [int(v) for v in next_line().split()]
     nx, ny = dims[0], dims[1]
     nz = dims[2] if len(dims) > 2 else 0
-    bounds = tuple(float(v) for v in lines[2].split())
-    solver_name = lines[3]
-    expect(4, "CONVERGENCE")
-    iterations = int(lines[5])
-    converged = lines[6].strip() == "1"
-    reason_txt = lines[7].strip()
+    bounds = tuple(float(v) for v in next_line().split())
+    solver_name = next_line()
+    expect(next_line(), "CONVERGENCE")
+    iterations = int(next_line())
+    converged = next_line().strip() == "1"
+    reason_txt = next_line().strip()
     try:
         reason = StopReason[reason_txt]
     except KeyError:
         reason = StopReason.ITERATIONS
-    residual_norm, error_norm = (float(v) for v in lines[8].split())
+    residual_norm, error_norm = (float(v) for v in next_line().split())
 
     all_sections = _SECTIONS + ["Z_COORDS"]
     vecs = {}
-    i = 9
-    current: Optional[str] = None
-    buf: List[float] = []
-    while i <= len(lines):
-        line = lines[i] if i < len(lines) else None
-        if line is None or line in all_sections:
-            if current is not None:
-                vecs[current] = np.asarray(buf)
-            if line is None:
-                break
-            current, buf = line, []
-        elif line.strip():
-            buf.append(float(line))
-        i += 1
+    while pos < len(text):
+        name = next_line().strip()
+        if not name:
+            continue
+        if name not in all_sections:
+            raise ValueError(f"{path}: unknown section {name!r}")
+        cap = text.count("\n", pos) + 1
+        vals, consumed = _parse_block(text[pos:], cap)
+        vecs[name] = vals
+        pos += consumed
 
     def get(name):
         return vecs.get(name, np.zeros(0))
@@ -196,11 +236,9 @@ def save_matrix_and_rhs(path: str, domain, rhs_compact: np.ndarray) -> None:
             f.write(f"{v}\n")
         for v in entries:
             f.write(f"{v}\n")
-        for v in values:
-            f.write(f"{v:.17e}\n")
+        f.write(_format_block(values))
         f.write("RHS\n")
-        for v in np.asarray(rhs_compact).ravel():
-            f.write(f"{v:.17e}\n")
+        f.write(_format_block(rhs_compact))
 
 
 def load_matrix_and_rhs(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -224,7 +262,13 @@ def load_matrix_and_rhs(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, 
 
 def save_solution_3d(path: str, results) -> None:
     """gnuplot/pm3d ``x y z`` export (reference dirichlet_solver.hpp:44-76)."""
+    from iterative_solvers_tpu.native import loader
+
     with open(path, "w") as f:
         f.write("# X Y Z (numeric solution on the Dirichlet domain)\n")
-        for x, y, z in zip(results.x_coords, results.y_coords, results.solution):
-            f.write(f"{x:.17e} {y:.17e} {z:.17e}\n")
+        raw = loader.format_xyz(results.x_coords, results.y_coords, results.solution)
+        if raw is not None:
+            f.write(raw.decode("ascii"))
+        else:
+            for x, y, z in zip(results.x_coords, results.y_coords, results.solution):
+                f.write(f"{x:.17e} {y:.17e} {z:.17e}\n")

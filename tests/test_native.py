@@ -51,3 +51,61 @@ def test_auto_backend_used_in_default_path():
     np.testing.assert_array_equal(rm, rm_p)
     np.testing.assert_array_equal(en, en_p)
     np.testing.assert_array_equal(va, va_p)
+
+
+def test_textio_format_matches_python():
+    """Native bulk formatter must be byte-identical to the Python '%.17e'
+    fallback (results files should not depend on which engine wrote them)."""
+    from iterative_solvers_tpu.native import loader
+
+    v = np.random.default_rng(3).standard_normal(1000)
+    v[::100] = [0.0, -0.0, 1e-300, 1e300, -1.5, 2.0, 3.25, 1e-17, -7.0, 42.0]
+    raw = loader.format_doubles(v)
+    if raw is None:
+        pytest.skip("no C++ compiler available")
+    assert raw.decode("ascii") == "".join(f"{x:.17e}\n" for x in v)
+
+
+def test_textio_parse_roundtrip_and_sentinel():
+    from iterative_solvers_tpu.native import loader
+
+    v = np.random.default_rng(4).standard_normal(500)
+    raw = loader.format_doubles(v)
+    if raw is None:
+        pytest.skip("no C++ compiler available")
+    out = loader.parse_doubles(raw + b"SECTION\n1.0\n2.0\n", 10_000)
+    vals, consumed = out
+    assert consumed == len(raw)  # stopped exactly at the section header
+    np.testing.assert_array_equal(vals, v)  # bit-exact through 17 digits
+
+
+def test_textio_xyz():
+    from iterative_solvers_tpu.native import loader
+
+    x, y, z = np.ones(3), np.arange(3.0), np.full(3, -2.5)
+    raw = loader.format_xyz(x, y, z)
+    if raw is None:
+        pytest.skip("no C++ compiler available")
+    lines = raw.decode().splitlines()
+    assert len(lines) == 3
+    assert [float(t) for t in lines[1].split()] == [1.0, 1.0, -2.5]
+
+
+def test_results_io_large_roundtrip(tmp_path):
+    """Full save/load through the native path at a size where the bulk
+    engine actually engages."""
+    from iterative_solvers_tpu.api import DirichletSolver
+    from iterative_solvers_tpu.results_io import load_results, save_results
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    s = DirichletSolver(
+        nx=48, ny=48,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=2000),
+    )
+    res = s.solve(record_history=False)
+    p = str(tmp_path / "big.txt")
+    save_results(p, res)
+    loaded, _ = load_results(p)
+    np.testing.assert_array_equal(loaded.solution, res.solution)
+    np.testing.assert_array_equal(loaded.residual, res.residual)
+    assert loaded.iterations == res.iterations
