@@ -133,16 +133,34 @@ def refined_solve(
     phase = (
         profiler.phase if profiler is not None else (lambda name: contextlib.nullcontext())
     )
-    inner_stop = StopConfig(
-        eps_precision=-1.0,
-        eps_residual=-1.0,
-        eps_exact_error=-1.0,
-        eps_relative=inner_rel_tol,
-        max_iterations=inner_max_iter,
-    )
-    inner_opts = CGOptions(
-        stop=inner_stop, preconditioner=preconditioner, profiler=profiler
-    )
+    def inner_options(eps_rel: float) -> CGOptions:
+        return CGOptions(
+            stop=StopConfig(
+                eps_precision=-1.0,
+                eps_residual=-1.0,
+                eps_exact_error=-1.0,
+                eps_relative=eps_rel,
+                max_iterations=inner_max_iter,
+            ),
+            preconditioner=preconditioner,
+            profiler=profiler,
+        )
+
+    def adaptive_inner_tol(r_max_now: float, r_norm_now: float) -> float:
+        """Loosest inner tolerance that still meets the outer target this
+        step (overshooting wastes inner iterations: the last outer typically
+        needs only 1-2 digits, not the full inner_rel_tol). Quantized to
+        decades so the jitted inner chunk is compiled per decade, not per
+        outer step."""
+        need = math.inf
+        if stop.eps_relative > 0 and r_norm_now > 0:
+            need = min(need, stop.eps_relative * r0_norm / r_norm_now)
+        if stop.eps_residual > 0 and r_max_now > 0:
+            need = min(need, stop.eps_residual / r_max_now)
+        if not math.isfinite(need):
+            return inner_rel_tol
+        tol = min(max(inner_rel_tol, 0.3 * need), 0.1)
+        return 10.0 ** math.floor(math.log10(tol))
 
     x = jnp.zeros_like(b)
     r = b
@@ -194,7 +212,11 @@ def refined_solve(
             break
 
         with phase("inner_solve"):
-            inner = cg_solve(A_lo, r.astype(cur_dtype), options=inner_opts)
+            inner = cg_solve(
+                A_lo,
+                r.astype(cur_dtype),
+                options=inner_options(adaptive_inner_tol(r_max, r_norm)),
+            )
         with phase("outer_residual"):
             # accumulate + true residual + stats: one program, one transfer
             x, r, stats_dev = _outer_update(A_hi, x, inner.x, b, u_true)
