@@ -178,10 +178,11 @@ def _bench_solve(n: int, on_tpu: bool) -> None:
 
 
 def _bench_solve_3d(n: int) -> None:
-    """BASELINE config '3D Poisson 512³ 7-point': single-chip slice of it —
-    mixed-precision MG-IR vs plain CG at the largest single-chip size.
-    (512³ itself is the multi-host config; the jnp 3D stencil also wants a
-    Pallas kernel before 512³ is worth timing — see NOTES_PERF.md.)"""
+    """BASELINE config '3D Poisson 512³ 7-point': the single-chip leg —
+    mixed-precision MG-IR vs plain CG (Pallas 7-point kernel) at 512³.
+    (The config's multi-host block partitioning is exercised structurally by
+    BENCH_MODE=scale and the virtual-mesh tests; real N>=2 host hardware is
+    not available this round.)"""
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -437,7 +438,7 @@ def main() -> None:
         _bench_solve(n, on_tpu)
         return
     if mode == "3d":
-        _bench_solve_3d(int(os.environ.get("BENCH_N_3D", "256" if on_tpu else "32")))
+        _bench_solve_3d(int(os.environ.get("BENCH_N_3D", "512" if on_tpu else "32")))
         return
     if mode == "csr":
         _bench_csr_vs_matrix_free(int(os.environ.get("BENCH_N_CSR", "1024" if on_tpu else "128")))

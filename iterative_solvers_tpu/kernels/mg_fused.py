@@ -1,0 +1,245 @@
+"""Fused Pallas kernels for the multigrid V-cycle's fine levels.
+
+The V-cycle's cost at large grids is dominated by its fine-level legs, and
+the jnp formulation pays ~4x the necessary HBM traffic there (measured at
+8192²: 2.7 ms/stencil but 11 ms for a restrict+prolong round trip —
+stride-2/interleave ops lower poorly in XLA, NOTES_PERF.md). These kernels
+fuse each leg into one HBM sweep each way:
+
+- **K_down** (pre-smooth + residual + row-restriction): reads the level RHS
+  ``b`` once and writes (a) the pre-smoothed iterate ``x = (ω/d)·b`` and
+  (b) the residual rows already restricted along the row axis — ~2.5 sweeps
+  for what takes ~7 unfused. The lane-axis restriction runs in XLA on the
+  half-height intermediate (4x smaller).
+- **K_up** (row-prolongation + correction + post-smooth): reads ``x``, ``b``
+  and the lane-prolonged coarse correction, reconstructs the corrected
+  iterate's halo rows in registers, and writes the post-smoothed iterate —
+  ~3.5 sweeps for ~8 unfused.
+
+Mosaic notes: stride-2 row selection is a reshape-split (``R[:by].reshape
+(by//2, 2, wp)``) because strided sublane slicing does not lower; row
+interleave is ``stack+reshape``; x±1 neighbors are masked lane rolls — all
+patterns probed on real v5e hardware. Interior masks are algebraic
+(broadcasted-iota predicates, zero HBM traffic), identical to
+kernels/stencil_pallas.py.
+
+The fused levels compute the SAME arithmetic as solvers/multigrid.py's jnp
+path (same smoother, same transfers, R = Pᵀ/4), so the V-cycle stays
+symmetric and PCG-safe; equivalence is tested to f32 round-off.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from iterative_solvers_tpu.kernels.stencil_pallas import _interior_pred, _round_up
+
+
+def _mask_at(pred, row0, shape):
+    ri = lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    ci = lax.broadcasted_iota(jnp.int32, shape, 1)
+    return pred(ri, ci)
+
+
+def _stencil_rows(xe, be, mr, cd, cx, cy, wp):
+    """Masked residual rows: ``r = b − A x`` for the row band ``xe[1:-1]``
+    given one extra x-row above and below; all inputs pre-masked."""
+    xc = xe[1:-1]
+    xu = xe[:-2]
+    xd = xe[2:]
+    ax = cd * xc + cx * (
+        pltpu.roll(xc, np.int32(1), 1) + pltpu.roll(xc, np.int32(wp - 1), 1)
+    ) + cy * (xu + xd)
+    return jnp.where(mr, be - ax, 0.0)
+
+
+def _make_k_down(nx, ny, cd, cx, cy, cs, by, wp, mask_mode):
+    pred = _interior_pred(mask_mode, nx, ny)
+
+    def kernel(b_ref, up_ref, dn_ref, x_ref, rr_ref):
+        i = pl.program_id(0)
+        row0 = i * by
+        m = _mask_at(pred, row0, (by, wp))
+        bm = jnp.where(m, b_ref[...], 0.0)
+        up2 = jnp.where(_mask_at(pred, row0 - 2, (2, wp)), up_ref[-2:, :], 0.0)
+        dn1 = jnp.where(_mask_at(pred, row0 + by, (1, wp)), dn_ref[:1, :], 0.0)
+        ext_b = jnp.concatenate([up2, bm, dn1], axis=0)  # rows row0-2 .. row0+by
+        x_ext = cs * ext_b  # pre-smooth from zero: x = (ω/d)·b, already masked
+        x_ref[...] = x_ext[2 : by + 2]
+        # residual rows row0-1 .. row0+by-1 (what row-restriction consumes)
+        mr = _mask_at(pred, row0 - 1, (by + 1, wp))
+        R = _stencil_rows(x_ext, ext_b[1 : by + 2], mr, cd, cx, cy, wp)
+        # row-restriction: coarse row j <- fine rows (2j-1, 2j, 2j+1) relative
+        # to row0 == R rows (2j, 2j+1, 2j+2). Stride-2 via reshape-split.
+        A = R[:by].reshape(by // 2, 2, wp)
+        below = A[:, 0, :]
+        center = A[:, 1, :]
+        upper = jnp.concatenate([A[1:, 0, :], R[by : by + 1]], axis=0)
+        rr_ref[...] = 0.25 * below + 0.5 * center + 0.25 * upper
+
+    return kernel
+
+
+def _make_k_up(nx, ny, cd, cx, cy, cs, by, wp, mask_mode, ch):
+    pred = _interior_pred(mask_mode, nx, ny)
+
+    def rows_valid(g0, rows):
+        # ``ec_lanes`` columns are FINE-indexed (already lane-prolonged), so
+        # only coarse-ROW validity is masked here: clamped halo fetches must
+        # not leak rows from outside the coarse grid [0, ch). Interior
+        # masking of the correction itself happened on the coarse level.
+        ri = lax.broadcasted_iota(jnp.int32, (rows, wp), 0) + g0
+        return (ri >= 0) & (ri < ch)
+
+    def kernel(x_ref, xup_ref, xdn_ref, b_ref, ec_ref, ecup_ref, ecdn_ref, o_ref):
+        i = pl.program_id(0)
+        row0 = i * by
+        half = by // 2
+        g0 = i * half  # first coarse row of this panel
+        m = _mask_at(pred, row0, (by, wp))
+        bm = jnp.where(m, b_ref[...], 0.0)
+        x = jnp.where(m, x_ref[...], 0.0)
+        # coarse correction rows g0-1 .. g0+half
+        ec_m = jnp.where(rows_valid(g0, half), ec_ref[...], 0.0)
+        ec_a = jnp.where(rows_valid(g0 - 1, 1), ecup_ref[-1:, :], 0.0)
+        ec_b = jnp.where(rows_valid(g0 + half, 1), ecdn_ref[:1, :], 0.0)
+        ec_nxt = jnp.concatenate([ec_m[1:], ec_b], axis=0)  # rows g0+1 .. g0+half
+        # row-prolongation inside the panel: even fine rows copy, odd average
+        odd = 0.5 * (ec_m + ec_nxt)
+        p = jnp.stack([ec_m, odd], axis=1).reshape(by, wp)
+        # halo rows of the corrected iterate
+        p_above = 0.5 * (ec_a + ec_m[:1])  # fine row row0-1 (odd)
+        p_below = ec_b  # fine row row0+by (even)
+        xc = x + jnp.where(m, p, 0.0)
+        xa = jnp.where(_mask_at(pred, row0 - 1, (1, wp)), xup_ref[-1:, :] + p_above, 0.0)
+        xb = jnp.where(_mask_at(pred, row0 + by, (1, wp)), xdn_ref[:1, :] + p_below, 0.0)
+        xc_ext = jnp.concatenate([xa, xc, xb], axis=0)
+        # post-smooth: x + (ω/d)·(b − A x_corrected)
+        R = _stencil_rows(xc_ext, bm, m, cd, cx, cy, wp)
+        o_ref[...] = jnp.where(m, xc + cs * R, 0.0)
+
+    return kernel
+
+
+@dataclass(frozen=True, eq=False)
+class FusedLevelKernels:
+    """Compiled down/up legs of one V-cycle level on its padded layout."""
+
+    nx: int
+    ny: int
+    coeffs: Tuple[float, float, float]
+    cs: float  # ω / diag
+    mask_mode: str
+    padded_shape: Tuple[int, int]  # (hp, wp), hp % by == 0, wp % 128 == 0
+    block_rows: int  # multiple of 16
+    interpret: bool
+
+    def down(self, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(x_presmooth, rows-restricted residual) from the level RHS."""
+        # Mosaic rejects i64 BlockSpec index-map values; trace the call with
+        # x64 locally off (the kernels are f32-only), cf. cg_fused.py.
+        with jax.enable_x64(False):
+            return self._down(b)
+
+    def _down(self, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        hp, wp = self.padded_shape
+        by = self.block_rows
+        cd, cx, cy = self.coeffs
+        kernel = _make_k_down(self.nx, self.ny, cd, cx, cy, self.cs, by, wp, self.mask_mode)
+        g = hp // by
+        gy = hp // 8
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((by, wp), lambda i: (i, 0)),
+                pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * (by // 8) - 1, 0), 0)),
+                pl.BlockSpec(
+                    (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, gy - 1), 0)
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec((by, wp), lambda i: (i, 0)),
+                pl.BlockSpec((by // 2, wp), lambda i: (i, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((hp, wp), b.dtype),
+                jax.ShapeDtypeStruct((hp // 2, wp), b.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(b, b, b)
+
+    def up(self, x: jnp.ndarray, b: jnp.ndarray, ec_lanes: jnp.ndarray) -> jnp.ndarray:
+        """Post-smoothed corrected iterate; ``ec_lanes`` is the lane-prolonged
+        coarse correction on this level's (hp/2, wp) row layout."""
+        with jax.enable_x64(False):
+            return self._up(x, b, ec_lanes)
+
+    def _up(self, x: jnp.ndarray, b: jnp.ndarray, ec_lanes: jnp.ndarray) -> jnp.ndarray:
+        hp, wp = self.padded_shape
+        by = self.block_rows
+        cd, cx, cy = self.coeffs
+        ch = self.ny // 2 + 1  # coarse row count
+        kernel = _make_k_up(
+            self.nx, self.ny, cd, cx, cy, self.cs, by, wp, self.mask_mode, ch
+        )
+        g = hp // by
+        gy = hp // 8
+        gc = (hp // 2) // 8
+        half8 = (by // 2) // 8
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((by, wp), lambda i: (i, 0)),
+                pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * (by // 8) - 1, 0), 0)),
+                pl.BlockSpec(
+                    (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, gy - 1), 0)
+                ),
+                pl.BlockSpec((by, wp), lambda i: (i, 0)),
+                pl.BlockSpec((by // 2, wp), lambda i: (i, 0)),
+                pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * half8 - 1, 0), 0)),
+                pl.BlockSpec(
+                    (8, wp), lambda i: (jnp.minimum((i + 1) * half8, gc - 1), 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((by, wp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((hp, wp), x.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(x, x, x, b, ec_lanes, ec_lanes, ec_lanes)
+
+
+def lane_restrict(rr: jnp.ndarray, nx: int, wc_pad: int) -> jnp.ndarray:
+    """Lane-axis full weighting on the rows-restricted intermediate:
+    coarse col c <- fine cols (2c-1, 2c, 2c+1); output padded to wc_pad."""
+    w = nx + 1
+    wc = nx // 2 + 1
+    p = jnp.pad(rr[:, :w], ((0, 0), (1, 1)))
+    lo = p[:, 0 : 2 * wc - 1 : 2]
+    mid = p[:, 1 : 2 * wc : 2]
+    hi = p[:, 2 : 2 * wc + 1 : 2]
+    out = 0.25 * (lo + hi) + 0.5 * mid
+    return jnp.pad(out, ((0, 0), (0, wc_pad - wc)))
+
+
+def lane_prolong(ec: jnp.ndarray, cnx: int, w_pad: int) -> jnp.ndarray:
+    """Lane-axis linear interpolation: coarse width cnx+1 -> fine nx+1 = 2cnx+1,
+    padded to w_pad; rows untouched."""
+    wc = cnx + 1
+    a = ec[:, :wc]
+    left, right = a[:, :-1], a[:, 1:]
+    mid = 0.5 * (left + right)
+    inter = jnp.stack([left, mid], axis=-1).reshape(a.shape[0], 2 * (wc - 1))
+    out = jnp.concatenate([inter, a[:, wc - 1 : wc]], axis=1)
+    return jnp.pad(out, ((0, 0), (0, w_pad - out.shape[1])))

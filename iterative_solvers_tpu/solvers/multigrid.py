@@ -213,11 +213,33 @@ class _CoarseSolveChebyshev:
 
 
 @dataclass(frozen=True, eq=False)
+class _FusedLevel:
+    """Fine V-cycle level running the fused Pallas down/up kernels
+    (kernels/mg_fused.py) on its own padded layout; interfaces stay unpadded."""
+
+    kernels: object  # FusedLevelKernels
+    h: int  # unpadded row extent (ny+1)
+    w: int  # unpadded col extent (nx+1)
+    ch: int  # child rows (ny/2+1)
+    cw: int  # child cols (nx/2+1)
+    nx: int
+    child_interior: jnp.ndarray  # bool (ch, cw)
+
+    def pad_in(self, f: jnp.ndarray) -> jnp.ndarray:
+        hp, wp = self.kernels.padded_shape
+        return jnp.pad(f, ((0, hp - self.h), (0, wp - self.w)))
+
+
+@dataclass(frozen=True, eq=False)
 class MultigridPreconditioner:
     """Hashable callable ``z = M r`` ≈ ``A⁻¹ r``: one V(nu_pre, nu_post)
     cycle of rediscretized geometric multigrid. Plug into
     ``CGOptions.preconditioner`` (or ``DirichletSolver(preconditioner='mg')``).
-    Symmetric by construction (see module docstring), hence PCG-safe."""
+    Symmetric by construction (see module docstring), hence PCG-safe.
+
+    On TPU, fine levels of V(1,1) cycles run fused Pallas down/up kernels
+    (kernels/mg_fused.py) — same arithmetic, ~2.5x less HBM traffic per leg
+    (``fuse`` parameter: None = auto on TPU for 2D gamma/rect)."""
 
     levels: Tuple[_Level, ...]
     coarse_solve: Callable
@@ -234,6 +256,9 @@ class MultigridPreconditioner:
         dense_coarse_limit: int = 2048,
         coarse_chebyshev_degree: int = 48,
         dtype=None,
+        fuse: Optional[bool] = None,
+        fuse_min_extent: int = 512,
+        interpret: Optional[bool] = None,
     ) -> "MultigridPreconditioner":
         if nu_pre != nu_post:
             raise ValueError(
@@ -260,7 +285,58 @@ class MultigridPreconditioner:
                 omega_over_diag=omega / d.coeff_diag,
             )
 
-        levels = tuple(make_level(d) for d in domains)
+        if fuse is None:
+            fuse = jax.default_backend() != "cpu"
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+
+        def can_fuse(idx: int) -> bool:
+            d = domains[idx]
+            return (
+                fuse
+                and nu_pre == 1  # the fused legs implement exactly V(1,1)
+                and idx < len(domains) - 1  # the coarsest level has no child
+                and not isinstance(d, Domain3D)
+                and getattr(d, "shape", None) in ("gamma", "rect")
+                and d.ny + 1 >= fuse_min_extent
+            )
+
+        def make_fused(idx: int) -> "_FusedLevel":
+            from iterative_solvers_tpu.kernels.mg_fused import FusedLevelKernels
+
+            d, c = domains[idx], domains[idx + 1]
+            h, w = d.grid_shape
+            by = 64 if h >= 1024 else (32 if h >= 256 else 16)
+            wp = -(-w // 128) * 128
+            # the fused kernels hold ~8 (by, wp) f32 buffers live in VMEM
+            # (pipeline double-buffers + register temporaries)
+            while by > 16 and 32 * by * wp > 24 * 2**20:
+                by //= 2
+            hp = -(-h // by) * by
+            k = FusedLevelKernels(
+                nx=d.nx,
+                ny=d.ny,
+                coeffs=(d.coeff_diag, d.coeff_x, d.coeff_y),
+                cs=omega / d.coeff_diag,
+                mask_mode=d.shape,
+                padded_shape=(hp, wp),
+                block_rows=by,
+                interpret=interpret,
+            )
+            return _FusedLevel(
+                kernels=k,
+                h=h,
+                w=w,
+                ch=c.grid_shape[0],
+                cw=c.grid_shape[1],
+                nx=d.nx,
+                child_interior=jnp.asarray(np.asarray(c.interior)),
+            )
+
+        levels = tuple(
+            make_fused(i) if can_fuse(i) else make_level(d)
+            for i, d in enumerate(domains)
+        )
         coarsest = domains[-1]
         if coarsest.num_unknowns <= dense_coarse_limit:
             idx, A = _assemble_dense(coarsest)
@@ -289,6 +365,21 @@ class MultigridPreconditioner:
         if li == len(self.levels) - 1:
             return self.coarse_solve(b)
         lev = self.levels[li]
+        if isinstance(lev, _FusedLevel):
+            from iterative_solvers_tpu.kernels.mg_fused import (
+                lane_prolong,
+                lane_restrict,
+            )
+
+            hp, wp = lev.kernels.padded_shape
+            bp = lev.pad_in(b)
+            xp, rr = lev.kernels.down(bp)
+            rc = lane_restrict(rr[: lev.ch], lev.nx, lev.cw)
+            rc = jnp.where(lev.child_interior, rc, 0.0)
+            ec = self._vcycle(li + 1, rc)
+            ecl = lane_prolong(ec, lev.nx // 2, wp)
+            ecl = jnp.pad(ecl, ((0, hp // 2 - lev.ch), (0, 0)))
+            return lev.kernels.up(xp, bp, ecl)[: lev.h, : lev.w]
         # Pre-smooth from x=0: the first weighted-Jacobi sweep collapses to a
         # pure scaling of b.
         x = lev.omega_over_diag * b
@@ -303,11 +394,12 @@ class MultigridPreconditioner:
         return x
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
-        if r.shape != self.levels[0].interior.shape:
-            raise ValueError(
-                f"field shape {r.shape} != fine-level grid "
-                f"{self.levels[0].interior.shape}"
-            )
+        lev0 = self.levels[0]
+        shape0 = (
+            (lev0.h, lev0.w) if isinstance(lev0, _FusedLevel) else lev0.interior.shape
+        )
+        if r.shape != shape0:
+            raise ValueError(f"field shape {r.shape} != fine-level grid {shape0}")
         return self._vcycle(0, r)
 
     @property

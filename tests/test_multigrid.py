@@ -244,3 +244,77 @@ def test_make_preconditioner_mg_nu():
     op = StencilOperator.from_domain(dom)
     M = make_preconditioner("mg:2", op, dom)
     assert M.nu_pre == 2 and M.nu_post == 2
+
+
+# --- fused Pallas V-cycle (kernels/mg_fused.py) -------------------------------
+
+
+@pytest.mark.parametrize("shape,n", [("gamma", 64), ("rect", 48), ("gamma", 128)])
+def test_fused_vcycle_matches_jnp(shape, n):
+    """The fused down/up kernels compute the same V-cycle arithmetic as the
+    jnp path — required for the symmetry argument to carry over."""
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+
+    dom = Domain2D(nx=n, ny=n, shape=shape)
+    op = StencilOperator.from_domain(dom)
+    M_ref = MultigridPreconditioner.from_domain(dom, fuse=False)
+    M_fused = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    assert any(hasattr(l, "kernels") for l in M_fused.levels)
+    rng = np.random.default_rng(0)
+    r = op.mask(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32))
+    z_ref = np.asarray(M_ref(r))
+    z = np.asarray(M_fused(r))
+    np.testing.assert_allclose(z, z_ref, atol=5e-6 * np.abs(z_ref).max())
+
+
+def test_fused_vcycle_pcg_same_path():
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+    from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
+
+    dom = Domain2D(nx=64, ny=64)
+    op = StencilOperator.from_domain(dom)
+    b = PoissonProblem.manufactured(dom).rhs_field(jnp.float32)
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-4, max_iterations=100)
+    r1 = cg_solve(
+        op, b, options=CGOptions(stop=stop, preconditioner=MultigridPreconditioner.from_domain(dom, fuse=False))
+    )
+    r2 = cg_solve(
+        op,
+        b,
+        options=CGOptions(
+            stop=stop,
+            preconditioner=MultigridPreconditioner.from_domain(
+                dom, fuse=True, fuse_min_extent=16, interpret=True
+            ),
+        ),
+    )
+    assert r1.iterations == r2.iterations
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-5)
+
+
+def test_fused_vcycle_symmetry():
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+
+    dom = Domain2D(nx=32, ny=32)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    rng = np.random.default_rng(2)
+    u = op.mask(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32))
+    v = op.mask(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32))
+    s1 = float(jnp.sum(u * M(v)))
+    s2 = float(jnp.sum(v * M(u)))
+    assert abs(s1 - s2) <= 2e-5 * abs(s1)
+
+
+def test_fused_requires_v11():
+    """nu != 1 falls back to the jnp path (the fused legs hard-code V(1,1))."""
+    M = MultigridPreconditioner.from_domain(
+        Domain2D(nx=64, ny=64), fuse=True, fuse_min_extent=16, interpret=True,
+        nu_pre=2, nu_post=2,
+    )
+    assert not any(hasattr(l, "kernels") for l in M.levels)
