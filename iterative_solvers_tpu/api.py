@@ -232,7 +232,11 @@ class DirichletSolver:
                     ShardedMultigridPreconditioner,
                 )
 
-                M = ShardedMultigridPreconditioner(inner=M, grid_shape=dom.grid_shape)
+                # rebuild through from_domain: it disables the single-device
+                # fused Pallas levels, which don't shard under GSPMD
+                M = ShardedMultigridPreconditioner.from_domain(
+                    dom, self.mesh, nu_pre=M.nu_pre, nu_post=M.nu_post
+                )
             elif self.operator_kind in ("pallas", "fused") and hasattr(M, "levels"):
                 # multigrid works on unpadded grids; adapt to the padded layout
                 from iterative_solvers_tpu.solvers.multigrid import (

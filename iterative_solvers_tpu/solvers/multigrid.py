@@ -425,6 +425,10 @@ class ShardedMultigridPreconditioner:
 
     @staticmethod
     def from_domain(domain, mesh=None, **kwargs) -> "ShardedMultigridPreconditioner":
+        # fused Pallas levels are single-device kernels; under GSPMD global
+        # arrays they would force a gather — the jnp V-cycle path shards
+        # transparently instead
+        kwargs.setdefault("fuse", False)
         return ShardedMultigridPreconditioner(
             inner=MultigridPreconditioner.from_domain(domain, **kwargs),
             grid_shape=domain.grid_shape,
