@@ -125,11 +125,10 @@ def _bench_solve(n: int, on_tpu: bool) -> None:
         eps_precision=-1, eps_residual=-1, eps_relative=1e-6, max_iterations=100000
     )
 
-    # warm: compiles every program in the path (few iterations)
-    warm_stop = StopConfig(
-        eps_precision=-1, eps_residual=-1, eps_relative=1e-2, max_iterations=100000
-    )
-    refined_solve(op, op, b64, stop=warm_stop, preconditioner=M)
+    # warm with the IDENTICAL stop config: the adaptive inner tolerance picks
+    # per-decade jit buckets from the measured residual trajectory, so a
+    # looser warm target would compile different buckets than the timed run
+    refined_solve(op, op, b64, stop=stop, preconditioner=M)
 
     t0 = time.perf_counter()
     res = refined_solve(op, op, b64, stop=stop, preconditioner=M)
