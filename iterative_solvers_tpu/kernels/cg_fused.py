@@ -305,7 +305,10 @@ def _fused_chunk(engine: FusedCGEngine, stop: StopConfig, state: CGState, u_true
         return s._replace(done=done_p | done_r | done_e | done_rel, reason=reason)
 
     def cond(s: CGState):
-        return (~s.done) & (s.k < k_stop)
+        # r_norm2 == 0 guard mirrors solvers/cg.py: an exact iterate must not
+        # iterate into 0/0 (the driver converts the no-progress chunk into a
+        # RESIDUAL stop)
+        return (~s.done) & (s.k < k_stop) & (s.r_norm2 > 0)
 
     return lax.while_loop(cond, body, state)
 

@@ -238,7 +238,9 @@ def _cg_chunk(A, M, stop: StopConfig, beta_kind: str, state: CGState, u_true, k_
         )
 
     def cond(s: CGState):
-        return (~s.done) & (s.k < k_stop)
+        # r_norm2 == 0 means x is already exact — iterating would divide 0/0.
+        # The driver detects the resulting no-progress chunk and stops.
+        return (~s.done) & (s.k < k_stop) & (s.r_norm2 > 0)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -358,17 +360,26 @@ def cg_solve(
         if opts.record_history:
             history.append((k, prec, rmax, emax, rn))
 
-    # ONE host sync for the whole iteration-0 protocol (reference
-    # msg_solver.cpp:75-77) + the zero-residual early-out check.
-    k, _, _, prec, rmax, emax, r2, r0n = _sync_stats(state)
-    if k == 0:
-        prec = math.inf
-    fire(k, prec, rmax, emax, r0n if k == 0 else math.sqrt(max(r2, 0.0)))
+    interactive = opts.callback is not None or opts.record_history
+    if interactive or init_state is not None:
+        # ONE host sync for the whole iteration-0 protocol (reference
+        # msg_solver.cpp:75-77) + the zero-residual early-out check.
+        k, _, _, prec, rmax, emax, r2, r0n = _sync_stats(state)
+        if k == 0:
+            prec = math.inf
+        fire(k, prec, rmax, emax, r0n if k == 0 else math.sqrt(max(r2, 0.0)))
 
-    if r2 == 0.0:  # x0 already exact; avoid 0/0 in the loop
-        return _make_result(
-            state, k, StopReason.RESIDUAL, True, prec, rmax, emax, r2, r0n, t0, history, opts
-        )
+        if r2 == 0.0:  # x0 already exact; avoid 0/0 in the loop
+            return _make_result(
+                state, k, StopReason.RESIDUAL, True, prec, rmax, emax, r2, r0n,
+                t0, history, opts,
+            )
+    else:
+        # Nobody listens: skip the init round-trip entirely (it costs a full
+        # tunnel RTT + the init program's completion wait per solve — the
+        # dominant overhead of short preconditioned inner solves). The
+        # zero-residual case is caught below as a no-progress chunk.
+        k = 0
 
     max_iter = stop.max_iterations
     cb_every = max(1, opts.callback_every)
@@ -408,6 +419,15 @@ def cg_solve(
         if done:
             reason = StopReason(reason_code)
             break
+        if k == k_prev:
+            # no progress without a stop flag: the r == 0 guard fired — the
+            # iterate is already exact
+            reason = StopReason.RESIDUAL
+            converged = True
+            fire(k, prec, rmax, emax, math.sqrt(max(r2, 0.0)))
+            return _make_result(
+                state, k, reason, True, prec, rmax, emax, r2, r0n, t0, history, opts
+            )
         if opts.callback is not None or opts.record_history:
             fire(k, prec, rmax, emax, math.sqrt(max(r2, 0.0)))
 

@@ -323,3 +323,22 @@ def test_divergence_detection():
     assert res.reason == StopReason.DIVERGED
     assert not res.converged
     assert res.iterations <= 2
+
+
+def test_zero_rhs_short_circuits():
+    """b = 0 ⇒ x = 0 is exact; both the silent path (no callback) and the
+    interactive path must stop immediately with RESIDUAL instead of 0/0."""
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.solvers.stopping import StopReason
+
+    dom = Domain2D(nx=8, ny=8)
+    op = StencilOperator.from_domain(dom)
+    b = jnp.zeros(dom.grid_shape)
+    for cb in (None, lambda k, p, r, e: None):
+        res = cg_solve(
+            op, b, options=CGOptions(stop=StopConfig(max_iterations=50), callback=cb)
+        )
+        assert res.converged and res.reason == StopReason.RESIDUAL
+        assert res.iterations == 0
+        assert float(jnp.max(jnp.abs(res.x))) == 0.0
