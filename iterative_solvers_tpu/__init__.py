@@ -22,7 +22,12 @@ from iterative_solvers_tpu.core.problem import PoissonProblem
 from iterative_solvers_tpu.ops.stencil import StencilOperator, stencil_apply
 from iterative_solvers_tpu.solvers.stopping import StopReason, StopConfig
 from iterative_solvers_tpu.solvers.cg import CGOptions, CGResult, cg_solve
+from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+from iterative_solvers_tpu.solvers.refine import RefinedResult, refined_solve
 from iterative_solvers_tpu.api import DirichletSolver, SolverResults
+from iterative_solvers_tpu.async_driver import AsyncSolver
+from iterative_solvers_tpu.config import SolveConfig
+from iterative_solvers_tpu.profiling import Profiler
 
 __version__ = "0.1.0"
 
@@ -37,7 +42,13 @@ __all__ = [
     "CGOptions",
     "CGResult",
     "cg_solve",
+    "MultigridPreconditioner",
+    "RefinedResult",
+    "refined_solve",
     "DirichletSolver",
     "SolverResults",
+    "AsyncSolver",
+    "SolveConfig",
+    "Profiler",
     "__version__",
 ]

@@ -172,6 +172,15 @@ class Pallas3DStencilOperator:
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Mosaic rejects i64 BlockSpec index maps, so f32 fields under a
+        # global jax_enable_x64 trace with x64 locally off; f64 fields (CPU
+        # interpret mode) keep their dtype.
+        if x.dtype == jnp.float32:
+            with jax.enable_x64(False):
+                return self._apply(x)
+        return self._apply(x)
+
+    def _apply(self, x: jnp.ndarray) -> jnp.ndarray:
         cd, cx, cy, cz = self.coeffs
         return pallas_stencil_apply_3d(
             x,

@@ -423,7 +423,6 @@ def cg_solve(
             # no progress without a stop flag: the r == 0 guard fired — the
             # iterate is already exact
             reason = StopReason.RESIDUAL
-            converged = True
             fire(k, prec, rmax, emax, math.sqrt(max(r2, 0.0)))
             return _make_result(
                 state, k, reason, True, prec, rmax, emax, r2, r0n, t0, history, opts
