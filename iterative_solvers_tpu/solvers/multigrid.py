@@ -224,6 +224,7 @@ class _FusedLevel:
     cw: int  # child cols (nx/2+1)
     nx: int
     child_interior: jnp.ndarray  # bool (ch, cw)
+    jnp_level: _Level  # fallback for non-f32 fields (the kernels are f32-only)
 
     def pad_in(self, f: jnp.ndarray) -> jnp.ndarray:
         hp, wp = self.kernels.padded_shape
@@ -331,6 +332,7 @@ class MultigridPreconditioner:
                 cw=c.grid_shape[1],
                 nx=d.nx,
                 child_interior=jnp.asarray(np.asarray(c.interior)),
+                jnp_level=make_level(d),
             )
 
         levels = tuple(
@@ -366,20 +368,25 @@ class MultigridPreconditioner:
             return self.coarse_solve(b)
         lev = self.levels[li]
         if isinstance(lev, _FusedLevel):
-            from iterative_solvers_tpu.kernels.mg_fused import (
-                lane_prolong,
-                lane_restrict,
-            )
+            if b.dtype == jnp.float32:
+                from iterative_solvers_tpu.kernels.mg_fused import (
+                    lane_prolong,
+                    lane_restrict,
+                )
 
-            hp, wp = lev.kernels.padded_shape
-            bp = lev.pad_in(b)
-            xp, rr = lev.kernels.down(bp)
-            rc = lane_restrict(rr[: lev.ch], lev.nx, lev.cw)
-            rc = jnp.where(lev.child_interior, rc, 0.0)
-            ec = self._vcycle(li + 1, rc)
-            ecl = lane_prolong(ec, lev.nx // 2, wp)
-            ecl = jnp.pad(ecl, ((0, hp // 2 - lev.ch), (0, 0)))
-            return lev.kernels.up(xp, bp, ecl)[: lev.h, : lev.w]
+                hp, wp = lev.kernels.padded_shape
+                bp = lev.pad_in(b)
+                xp, rr = lev.kernels.down(bp)
+                rc = lane_restrict(rr[: lev.ch], lev.nx, lev.cw)
+                rc = jnp.where(lev.child_interior, rc, 0.0)
+                ec = self._vcycle(li + 1, rc)
+                ecl = lane_prolong(ec, lev.nx // 2, wp)
+                ecl = jnp.pad(ecl, ((0, hp // 2 - lev.ch), (0, 0)))
+                return lev.kernels.up(xp, bp, ecl)[: lev.h, : lev.w]
+            # non-f32 field (e.g. the escalated f64 inner solve of
+            # solvers/refine.py): the Pallas kernels are f32-only — take the
+            # jnp leg of this level instead
+            lev = lev.jnp_level
         # Pre-smooth from x=0: the first weighted-Jacobi sweep collapses to a
         # pure scaling of b.
         x = lev.omega_over_diag * b

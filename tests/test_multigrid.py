@@ -318,3 +318,47 @@ def test_fused_requires_v11():
         nu_pre=2, nu_post=2,
     )
     assert not any(hasattr(l, "kernels") for l in M.levels)
+
+
+def test_fused_vcycle_f64_field_takes_jnp_leg():
+    """The Pallas legs are f32-only; an f64 field (e.g. the escalated inner
+    solve of solvers/refine.py) must transparently use the jnp path."""
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+
+    dom = Domain2D(nx=64, ny=64)
+    op = StencilOperator.from_domain(dom)
+    M_fused = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    M_ref = MultigridPreconditioner.from_domain(dom, fuse=False)
+    rng = np.random.default_rng(5)
+    r64 = op.mask(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float64))
+    z1 = np.asarray(M_fused(r64))
+    z2 = np.asarray(M_ref(r64))
+    np.testing.assert_allclose(z1, z2, rtol=1e-12)
+    assert z1.dtype == np.float64
+
+
+def test_refine_escalation_with_fused_mg():
+    """Force the precision ladder (crippled inner solves) and check the
+    escalated f64 inner pass works with a fused-kernel preconditioner."""
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+    from iterative_solvers_tpu.solvers.refine import refined_solve
+
+    dom = Domain2D(nx=32, ny=32)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    res = refined_solve(
+        op,
+        op,
+        prob.rhs_field(jnp.float64),
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-9, max_iterations=10000),
+        preconditioner=M,
+        escalate_ratio=1e-12,  # any real contraction "stalls": step up at once
+    )
+    assert res.escalated
+    assert res.converged and res.residual_max < 1e-9
