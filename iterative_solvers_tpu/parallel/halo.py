@@ -44,46 +44,69 @@ def _bwd(axis: str):
 
 
 def _halo_apply_2d(x, interior, cd: float, cx: float, cy: float, ay: str, ax: str):
-    """Per-block 5-point update with 1-deep halo exchange on both mesh axes."""
+    """Per-block 5-point update with 1-deep halo exchange on both mesh axes.
+
+    Structured for communication/compute overlap (BASELINE config: "halo
+    exchange overlapped with interior stencil"): the bulk update is computed
+    from block-local shifts only (zero rows/cols at the block edges), so it
+    has NO data dependency on the four ppermutes — XLA's scheduler is free to
+    run the ICI transfers concurrently with the interior compute. The halo
+    contributions touch exactly one edge row/column each and are added last.
+    """
     xm = jnp.where(interior, x, 0)
 
-    # Rows from the y-neighbors: previous block's last row, next block's first.
-    row_above = lax.ppermute(xm[-1:, :], ay, perm=_fwd(ay))
-    row_below = lax.ppermute(xm[:1, :], ay, perm=_bwd(ay))
-    up = jnp.concatenate([row_above, xm[:-1, :]], axis=0)  # value at iy-1
-    dn = jnp.concatenate([xm[1:, :], row_below], axis=0)  # value at iy+1
+    # Kick off the four edge transfers first (no dependency on the compute).
+    row_above = lax.ppermute(xm[-1:, :], ay, perm=_fwd(ay))  # -> our row 0's iy-1
+    row_below = lax.ppermute(xm[:1, :], ay, perm=_bwd(ay))  # -> our last row's iy+1
+    col_left = lax.ppermute(xm[:, -1:], ax, perm=_fwd(ax))  # -> our col 0's ix-1
+    col_right = lax.ppermute(xm[:, :1], ax, perm=_bwd(ax))  # -> our last col's ix+1
 
-    col_left = lax.ppermute(xm[:, -1:], ax, perm=_fwd(ax))
-    col_right = lax.ppermute(xm[:, :1], ax, perm=_bwd(ax))
-    lf = jnp.concatenate([col_left, xm[:, :-1]], axis=1)  # value at ix-1
-    rt = jnp.concatenate([xm[:, 1:], col_right], axis=1)  # value at ix+1
-
+    # Bulk update from local data only.
+    z1 = jnp.zeros_like(xm[:1, :])
+    up = jnp.concatenate([z1, xm[:-1, :]], axis=0)  # value at iy-1, 0 at edge
+    dn = jnp.concatenate([xm[1:, :], z1], axis=0)
+    zc = jnp.zeros_like(xm[:, :1])
+    lf = jnp.concatenate([zc, xm[:, :-1]], axis=1)
+    rt = jnp.concatenate([xm[:, 1:], zc], axis=1)
     y = cd * xm + cx * (lf + rt) + cy * (up + dn)
+
+    # Edge corrections once the halos arrive.
+    y = y.at[:1, :].add(cy * row_above)
+    y = y.at[-1:, :].add(cy * row_below)
+    y = y.at[:, :1].add(cx * col_left)
+    y = y.at[:, -1:].add(cx * col_right)
     return jnp.where(interior, y, 0)
 
 
 def _halo_apply_3d(x, interior, cd: float, cx: float, cy: float, cz: float,
                    az: str, ax: str):
     """Per-block 7-point update; z-planes exchanged over mesh axis ``az``,
-    x-columns over ``ax``; the y dimension is unsharded (local)."""
+    x-columns over ``ax``; the y dimension is unsharded (local). Structured
+    like :func:`_halo_apply_2d`: the bulk update depends only on local data,
+    so the ICI transfers overlap with the interior compute."""
     xm = jnp.where(interior, x, 0)
 
     plane_above = lax.ppermute(xm[-1:, :, :], az, perm=_fwd(az))
     plane_below = lax.ppermute(xm[:1, :, :], az, perm=_bwd(az))
-    up = jnp.concatenate([plane_above, xm[:-1, :, :]], axis=0)  # value at iz-1
-    dn = jnp.concatenate([xm[1:, :, :], plane_below], axis=0)
-
     col_left = lax.ppermute(xm[:, :, -1:], ax, perm=_fwd(ax))
     col_right = lax.ppermute(xm[:, :, :1], ax, perm=_bwd(ax))
-    lf = jnp.concatenate([col_left, xm[:, :, :-1]], axis=2)  # value at ix-1
-    rt = jnp.concatenate([xm[:, :, 1:], col_right], axis=2)
 
+    zp = jnp.zeros_like(xm[:1, :, :])
+    up = jnp.concatenate([zp, xm[:-1, :, :]], axis=0)  # value at iz-1, 0 at edge
+    dn = jnp.concatenate([xm[1:, :, :], zp], axis=0)
+    zc = jnp.zeros_like(xm[:, :, :1])
+    lf = jnp.concatenate([zc, xm[:, :, :-1]], axis=2)
+    rt = jnp.concatenate([xm[:, :, 1:], zc], axis=2)
     # y-neighbors are local (zero-padded at block edges == global boundary)
     zeros_y = jnp.zeros_like(xm[:, :1, :])
     yl = jnp.concatenate([zeros_y, xm[:, :-1, :]], axis=1)
     yr = jnp.concatenate([xm[:, 1:, :], zeros_y], axis=1)
-
     y = cd * xm + cx * (lf + rt) + cy * (yl + yr) + cz * (up + dn)
+
+    y = y.at[:1, :, :].add(cz * plane_above)
+    y = y.at[-1:, :, :].add(cz * plane_below)
+    y = y.at[:, :, :1].add(cx * col_left)
+    y = y.at[:, :, -1:].add(cx * col_right)
     return jnp.where(interior, y, 0)
 
 
