@@ -31,6 +31,64 @@ import json
 import os
 import sys
 import time
+import traceback
+
+# Error classes worth retrying with a fresh backend: round 1's official bench
+# artifact died on a FAILED_PRECONDITION at the first device fetch (a
+# dirty/held TPU at driver-capture time) even though the same command passed
+# minutes later. OOM (RESOURCE_EXHAUSTED) is deliberately NOT here.
+_TRANSIENT_MARKERS = (
+    "FAILED_PRECONDITION",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "ABORTED",
+    "INTERNAL",
+    "Socket closed",
+    "Connection reset",
+)
+
+
+def _reset_backend() -> None:
+    """Drop compiled programs and the device client so the next call opens a
+    fresh connection to the chip."""
+    import jax
+
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
+    try:
+        import jax.extend.backend
+
+        jax.extend.backend.clear_backends()
+    except Exception:
+        pass
+
+
+def _device_probe(max_tries: int = 4) -> None:
+    """Tiny compile+execute+fetch before the real bench, with retry/backoff.
+    Catches the held-chip failure mode early and cheaply instead of after a
+    multi-minute warmup."""
+    import jax
+    import jax.numpy as jnp
+
+    last: Exception | None = None
+    for attempt in range(max_tries):
+        try:
+            v = float(jax.jit(lambda a: jnp.sum(a * 2.0))(jnp.ones((128, 128), jnp.float32)))
+            if v != 2.0 * 128 * 128:
+                raise RuntimeError(f"probe value mismatch: {v}")
+            return
+        except Exception as e:  # noqa: BLE001 — any device error is probe-fatal
+            last = e
+            print(
+                f"bench: device probe failed (attempt {attempt + 1}/{max_tries}): {e}",
+                file=sys.stderr,
+            )
+            if attempt + 1 < max_tries:
+                time.sleep(2.0 * (attempt + 1))
+                _reset_backend()
+    raise RuntimeError(f"device probe failed after {max_tries} attempts") from last
 
 
 def _hbm_bandwidth_bytes(device_kind: str) -> float:
@@ -101,6 +159,48 @@ def _bench_cg_fused(n: int) -> None:
     )
 
 
+def _measure_plain_iter_ms(dom) -> float:
+    """Live ms/iteration of the best plain-CG engine (the fused two-kernel
+    Pallas MSG recurrence), as a two-point difference so dispatch/tunnel
+    latency cancels out of the slope."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.kernels.cg_fused import FusedCGEngine, _fused_chunk
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.cg import CGState
+    from iterative_solvers_tpu.solvers.stopping import StopConfig, StopReason
+
+    op = PallasStencilOperator.from_domain(dom)
+    # the fused engine is f32-only; trace with x64 off (the solve mode enables
+    # x64 globally for the f64 outer refinement)
+    with jax.enable_x64(False):
+        b = op.pad(PoissonProblem.manufactured(dom).rhs_field(jnp.float32))
+        engine = FusedCGEngine(op)
+        stop = StopConfig(max_iterations=10**9).disable_all_but_iterations()
+        r2_0 = jnp.sum(b * b)
+        state = CGState(
+            x=jnp.zeros_like(b), r=b, z=jnp.zeros_like(b),
+            k=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+            reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
+            rz=jnp.asarray(1.0, jnp.float32), r_norm2=r2_0,
+            prec_max=jnp.asarray(jnp.inf, jnp.float32), r_max=jnp.max(jnp.abs(b)),
+            err_max=jnp.asarray(jnp.inf, jnp.float32), r0_norm=jnp.sqrt(r2_0),
+        )
+
+        def run(k: int) -> float:
+            t0 = time.perf_counter()
+            s = _fused_chunk(engine, stop, state, None, jnp.asarray(k, jnp.int32))
+            float(s.r_norm2)  # force completion (block_until_ready is a tunnel no-op)
+            return time.perf_counter() - t0
+
+        run(2)  # compile + warm
+        t_lo = min(run(5) for _ in range(2))
+        t_hi = min(run(105) for _ in range(2))
+        return (t_hi - t_lo) / 100 * 1e3
+
+
 def _bench_solve(n: int, on_tpu: bool) -> None:
     """Default headline: time-to-true-rel-1e-6 via mixed-precision MG-IR,
     vs the plain fused-CG reference algorithm."""
@@ -137,11 +237,30 @@ def _bench_solve(n: int, on_tpu: bool) -> None:
     assert res.converged and rel < 1e-6, (res.converged, rel)
 
     # Baseline: plain MSG CG (the reference's only algorithm) on this
-    # framework's fastest plain-CG path. On TPU the 8192² number is the
-    # measured constant from NOTES_PERF.md (14180 iterations x 3.26 ms warm)
-    # to keep the bench run short; other sizes measure it live.
-    if on_tpu and n == 8192:
-        t_plain = 14180 * 3.26e-3
+    # framework's fastest plain-CG path (the fused Pallas engine on TPU).
+    # At 8192² the full run takes ~46 s, so the default measures ms/iteration
+    # live (~0.7 s) and multiplies by the criterion-hit iteration count of the
+    # f32 recurrence — an algorithmic property of the recurrence, not of
+    # engine speed, recorded once from a full live run (NOTES_PERF.md: 14180
+    # iterations to recurrence rel 1e-6). BENCH_PLAIN_FULL=1 runs it live.
+    plain_note = "measured live (full run)"
+    if on_tpu and n == 8192 and not os.environ.get("BENCH_PLAIN_FULL"):
+        per_ms = _measure_plain_iter_ms(dom)
+        plain_iters = 14180
+        t_plain = per_ms * 1e-3 * plain_iters
+        plain_note = f"measured {per_ms:.3f} ms/iter x recorded {plain_iters} iters"
+    elif on_tpu:
+        from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+        from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+        from iterative_solvers_tpu.solvers.cg import CGOptions
+
+        pop = PallasStencilOperator.from_domain(dom)
+        b32 = prob.rhs_field(jnp.float32)
+        fused_cg_solve(pop, b32, options=CGOptions(stop=stop))  # compile
+        t0 = time.perf_counter()
+        plain = fused_cg_solve(pop, b32, options=CGOptions(stop=stop))
+        t_plain = time.perf_counter() - t0
+        plain_note += f" ({plain.iterations} iters)"
     else:
         from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
 
@@ -161,7 +280,7 @@ def _bench_solve(n: int, on_tpu: bool) -> None:
     print(
         f"bench solve: n={n} mg_ir={t_solve:.3f}s true_rel={rel:.2e} "
         f"outer={res.outer_iterations} inner={res.inner_iterations} "
-        f"plain_cg={t_plain:.3f}s",
+        f"plain_cg={t_plain:.3f}s [{plain_note}]",
         file=sys.stderr,
     )
     print(
@@ -366,7 +485,38 @@ def _bench_scaling() -> None:
 
     devs = jax.devices()
     d = len(devs)
-    n1 = int(os.environ.get("BENCH_N_SCALE", "1024" if devs[0].platform != "cpu" else "128"))
+    if d == 1 and not os.environ.get("BENCH_SCALE_INNER"):
+        # One real chip: the in-process measurement would degenerate to a
+        # trivial 1.0. Record the number the mode was designed to measure —
+        # weak-scaling efficiency on the 8-virtual-device CPU mesh — in a
+        # subprocess (the virtual mesh needs XLA_FLAGS at interpreter start).
+        import subprocess
+
+        env = dict(os.environ)
+        env["BENCH_SCALE_INNER"] = "1"
+        env["BENCH_MODE"] = "scale"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        )
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        sys.stderr.write(p.stderr)
+        line = next(
+            (ln for ln in reversed(p.stdout.splitlines()) if ln.startswith("{")), None
+        )
+        if p.returncode == 0 and line:
+            obj = json.loads(line)
+            obj["metric"] = "virtual_cpu_mesh_" + obj["metric"]
+            print(json.dumps(obj))
+            return
+        print("bench scale: virtual-mesh subprocess failed; falling back to "
+              "the trivial single-device record", file=sys.stderr)
+    # CPU default 512: smaller grids are dispatch-dominated on the virtual
+    # mesh and measure framework overhead, not the halo/collective cost
+    n1 = int(os.environ.get("BENCH_N_SCALE", "1024" if devs[0].platform != "cpu" else "512"))
     iters = 100
     stop = StopConfig(max_iterations=iters).disable_all_but_iterations()
     opts = CGOptions(stop=stop)
@@ -395,7 +545,13 @@ def _bench_scaling() -> None:
         nd = int(n1 * math.sqrt(d))
         nd -= nd % 2  # keep the Г-mask legal
         td = run(nd, devs)
-        eff = t1 / td
+        if devs[0].platform == "cpu":
+            # Virtual host devices share the same cores, so D× work can never
+            # finish in T1 — the meaningful number is overhead vs the ideal
+            # *serialized* compute D·T1 (sharding + halo + collective cost).
+            eff = d * t1 / td
+        else:
+            eff = t1 / td
     print(
         f"bench scale: devices={d} t({n1}²,1dev)={t1:.3f}s "
         f"t({nd}²,{d}dev)={td:.3f}s weak-scaling eff={eff:.2f}",
@@ -414,12 +570,51 @@ def _bench_scaling() -> None:
 
 
 def main() -> None:
+    """Fail-soft wrapper: the driver grades exactly one JSON line from this
+    process, so transient device errors retry with a fresh backend and any
+    terminal error still emits a parseable line with an "error" field."""
+    mode = os.environ.get("BENCH_MODE", "solve")
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
+    err: BaseException | None = None
+    for attempt in range(attempts):
+        try:
+            _run_mode()
+            return
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except BaseException as e:  # noqa: BLE001 — must never lose the JSON line
+            err = e
+            traceback.print_exc()
+            if attempt + 1 < attempts and any(m in str(e) for m in _TRANSIENT_MARKERS):
+                print(
+                    "bench: transient device error — resetting backend and retrying",
+                    file=sys.stderr,
+                )
+                _reset_backend()
+                time.sleep(5.0)
+                continue
+            break
+    print(
+        json.dumps(
+            {
+                "metric": f"bench_{mode}",
+                "value": 0.0,
+                "unit": "error",
+                "vs_baseline": 0.0,
+                "error": f"{type(err).__name__}: {err}"[:400],
+            }
+        )
+    )
+
+
+def _run_mode() -> None:
     import jax
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # the axon sitecustomize pre-sets jax_platforms at interpreter start,
         # so the env var alone would be silently ignored
         jax.config.update("jax_platforms", "cpu")
+    _device_probe()
     import jax.numpy as jnp
 
     from iterative_solvers_tpu.core.domain import Domain2D

@@ -49,6 +49,11 @@ class Profiler:
     phases: Dict[str, PhaseStat] = field(default_factory=dict)
     counters: Dict[str, float] = field(default_factory=dict)
     _t0: float = field(default_factory=time.perf_counter)
+    # Only top-level phases count toward the throughput denominator: nested
+    # phases (refined_solve's 'inner_solve' wraps the inner cg_solve's
+    # 'setup'/'cg_chunk' on the same Profiler) would double-count wall time.
+    _depth: int = 0
+    _top_total_s: float = 0.0
 
     @contextlib.contextmanager
     def phase(self, name: str) -> Iterator[None]:
@@ -58,9 +63,16 @@ class Profiler:
 
         stat = self.phases.setdefault(name, PhaseStat())
         t0 = time.perf_counter()
-        with jax.profiler.TraceAnnotation(name):
-            yield
-        stat.add(time.perf_counter() - t0)
+        self._depth += 1
+        try:
+            with jax.profiler.TraceAnnotation(name):
+                yield
+        finally:
+            self._depth -= 1
+            dt = time.perf_counter() - t0
+            stat.add(dt)
+            if self._depth == 0:
+                self._top_total_s += dt
 
     def count(self, name: str, value: float = 1.0) -> None:
         self.counters[name] = self.counters.get(name, 0.0) + value
@@ -82,7 +94,7 @@ class Profiler:
     def throughput(self) -> Dict[str, float]:
         """Derived rates from the standard counters (when present)."""
         out: Dict[str, float] = {}
-        total = sum(p.total_s for p in self.phases.values()) or self.elapsed_s
+        total = self._top_total_s or self.elapsed_s
         iters = self.counters.get("iterations")
         if iters:
             out["iterations_per_s"] = iters / total

@@ -342,3 +342,21 @@ def test_zero_rhs_short_circuits():
         assert res.converged and res.reason == StopReason.RESIDUAL
         assert res.iterations == 0
         assert float(jnp.max(jnp.abs(res.x))) == 0.0
+
+
+def test_silent_interrupt_before_first_chunk():
+    # Round-1 advisor finding (medium): a silent solve (no callback, no
+    # history, no init_state) whose stop_requested fires before the first
+    # chunk raised UnboundLocalError on the never-synced stats. Must return a
+    # well-formed INTERRUPTED result instead.
+    dom = Domain2D(nx=8, ny=8)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    r = cg_solve(
+        op,
+        prob.rhs_field(jnp.float64),
+        options=CGOptions(stop_requested=lambda: True),
+    )
+    assert r.reason == StopReason.INTERRUPTED
+    assert not r.converged
+    assert r.iterations == 0
