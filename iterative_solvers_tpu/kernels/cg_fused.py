@@ -35,7 +35,7 @@ partial sums keep reduction error at the f32 tree-reduction level.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -158,11 +158,60 @@ def _make_k2(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u):
     return kernel
 
 
+def _make_k2_pcg(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u):
+    """(x, r, z_prev, w, side[, u], scalars) -> (x', r', z_k, r2_p, rmax_p[, err_p])
+    — the PCG variant of K2: the direction is ``z_k = w + β·z_prev`` where
+    ``w = M r`` was staged at the jit level (the V-cycle runs between K2 and
+    the next K1). x/r/z still write in place (aliases {0:0, 1:1, 2:2}); w is
+    a read-only fourth stream."""
+    pred = _interior_pred(mask_mode, nx, ny)
+
+    def kernel(x_ref, r_ref, z_ref, w_ref, side_ref, *rest):
+        if has_u:
+            u_ref, s_ref, xo_ref, ro_ref, zo_ref, r2_ref, rmax_ref, err_ref = rest
+        else:
+            s_ref, xo_ref, ro_ref, zo_ref, r2_ref, rmax_ref = rest
+        i = pl.program_id(0)
+        row0 = i * by
+        alpha = s_ref[0, 0]
+        beta = s_ref[0, 1]
+        zk = w_ref[...] + beta * z_ref[...]
+        az = _stencil_regs(
+            zk,
+            side_ref[0, 0:1, :],
+            side_ref[0, 1:2, :],
+            cd, cx, cy, wp,
+            _mask_at(pred, row0, (by, wp)),
+        )
+        xn = x_ref[...] + alpha * zk
+        rn = r_ref[...] - alpha * az
+        xo_ref[...] = xn
+        ro_ref[...] = rn
+        zo_ref[...] = zk
+        r2_ref[...] = jnp.full((1, 8, LANES), jnp.sum(rn * rn), rn.dtype)
+        rmax_ref[...] = jnp.full((1, 8, LANES), jnp.max(jnp.abs(rn)), rn.dtype)
+        if has_u:
+            err_ref[...] = jnp.full(
+                (1, 8, LANES), jnp.max(jnp.abs(xn - u_ref[...])), rn.dtype
+            )
+
+    return kernel
+
+
 @dataclass(frozen=True, eq=False)
 class FusedCGEngine:
-    """Compiled fused-iteration runner for one padded grid geometry."""
+    """Compiled fused-iteration runner for one padded grid geometry.
+
+    With ``M`` set, runs the fused *PCG* iteration: the same two HBM-sweep
+    kernels (K1 forms the direction from w/z_prev; K2 applies the updates
+    in place with w as a fourth read stream) wrapped around one
+    preconditioner application per iteration at the jit level — the fused
+    V-cycle (kernels/mg_fused.py) slots in directly. The (r, w) dot rides a
+    separate fused XLA reduction; beta is deferred exactly as in the plain
+    engine (β_k = (r_k, w_k)/(r_{k−1}, w_{k−1}), alias rz/rz_prev)."""
 
     op: PallasStencilOperator
+    M: Optional[object] = None  # hashable callable on padded fields
 
     def _call_k1(self, r, z, beta):
         op = self.op
@@ -230,9 +279,93 @@ class FusedCGEngine:
             interpret=op.interpret,
         )(*args)
 
+    def _call_k2_pcg(self, x, r, z, w, side, u, alpha, beta):
+        op = self.op
+        hp, wp = op.padded_shape
+        by = op.block_rows
+        cd, cx, cy = op.coeffs
+        main, up, dn, scal, part = _specs(by, wp, hp)
+        g = hp // by
+        dtype = r.dtype
+        has_u = u is not None
+        kernel = _make_k2_pcg(op.nx, op.ny, cd, cx, cy, by, wp, op.mask_mode, has_u)
+        scal_in = jnp.zeros((1, LANES), dtype).at[0, 0].set(alpha).at[0, 1].set(beta)
+        side_spec = pl.BlockSpec((1, 8, wp), lambda i: (i, 0, 0))
+        out_shape = [
+            jax.ShapeDtypeStruct((hp, wp), dtype),
+            jax.ShapeDtypeStruct((hp, wp), dtype),
+            jax.ShapeDtypeStruct((hp, wp), dtype),
+            jax.ShapeDtypeStruct((g, 8, LANES), dtype),
+            jax.ShapeDtypeStruct((g, 8, LANES), dtype),
+        ]
+        out_specs = [main, main, main, part, part]
+        in_specs = [main, main, main, main, side_spec]
+        args = [x, r, z, w, side]
+        if has_u:
+            in_specs.append(main)
+            args.append(u)
+            out_shape.append(jax.ShapeDtypeStruct((g, 8, LANES), dtype))
+            out_specs.append(part)
+        in_specs.append(scal)
+        args.append(scal_in)
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            input_output_aliases={0: 0, 1: 1, 2: 2},
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=op.interpret,
+        )(*args)
+
+    def _pcg_iteration(self, state: CGState, u_true):
+        """One fused PCG iteration. Carries: state.w = M r (current),
+        state.rz = (r, w) current, state.rz_prev = previous (r, w)."""
+        beta = jnp.where(state.k == 0, 0.0, state.rz / state.rz_prev).astype(
+            state.r.dtype
+        )
+        # K1 forms z_k = w + β z_prev and A z_k in registers; its first
+        # operand is generic (the field the direction is built from), so the
+        # plain kernel is reused with w in r's slot. Its (w, z_k) dot output
+        # is not the PCG rz and is ignored.
+        side, _, azz_p, zmax_p = self._call_k1(state.w, state.z, beta)
+        azz = jnp.sum(azz_p[:, 0, 0])
+        zmax = jnp.max(zmax_p[:, 0, 0])
+        alpha = state.rz / azz
+        outs = self._call_k2_pcg(
+            state.x, state.r, state.z, state.w, side, u_true, alpha, beta
+        )
+        if u_true is not None:
+            xn, rn, zk, r2_p, rmax_p, err_p = outs
+            err_max = jnp.max(err_p[:, 0, 0])
+        else:
+            xn, rn, zk, r2_p, rmax_p = outs
+            err_max = jnp.asarray(jnp.inf, rn.dtype)
+        r2 = jnp.sum(r2_p[:, 0, 0])
+        r_max = jnp.max(rmax_p[:, 0, 0])
+        prec_max = jnp.abs(alpha) * zmax
+        wn = self.M(rn)
+        rz_new = jnp.sum(rn * wn)
+        return state._replace(
+            x=xn,
+            r=rn,
+            z=zk,
+            w=wn,
+            k=state.k + 1,
+            rz=rz_new,
+            rz_prev=state.rz,
+            r_norm2=r2,
+            prec_max=prec_max,
+            r_max=r_max,
+            err_max=err_max,
+        )
+
     def iteration(self, state: CGState, u_true):
         """One fused MSG iteration. ``state.z`` holds z_{k-1} (the direction
         update is deferred into K1/K2, where β is finally known)."""
+        if self.M is not None:
+            return self._pcg_iteration(state, u_true)
         beta = jnp.where(state.k == 0, 0.0, state.r_norm2 / state.rz).astype(
             state.r.dtype
         )
@@ -267,6 +400,23 @@ class FusedCGEngine:
         )
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _pcg_init(M, r):
+    """w_0 = M r_0 and (r_0, w_0) as ONE compiled program (the V-cycle would
+    otherwise dispatch op-by-op over a tunneled TPU)."""
+    w = M(r)
+    return w, jnp.sum(r * w)
+
+
+@lru_cache(maxsize=64)
+def _engine_for(op: PallasStencilOperator, M) -> "FusedCGEngine":
+    """Engines hash by identity (frozen, eq=False), so a fresh engine per
+    solve would miss the _fused_chunk jit cache and recompile the whole
+    iteration (~20-40 s over a TPU tunnel). Memoise per (op, M) pair; the
+    cache's strong references keep the keys' ids stable."""
+    return FusedCGEngine(op, M)
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _fused_chunk(engine: FusedCGEngine, stop: StopConfig, state: CGState, u_true, k_stop):
     false = jnp.asarray(False)
@@ -285,24 +435,34 @@ def _fused_chunk(engine: FusedCGEngine, stop: StopConfig, state: CGState, u_true
             if stop.eps_relative > 0
             else false
         )
+        # Failure detection, mirroring the standard chunk (solvers/cg.py): a
+        # non-finite ‖r‖² must report DIVERGED, not fall out of the loop via
+        # the r_norm2 > 0 guard with reason still ITERATIONS.
+        done_div = ~jnp.isfinite(s.r_norm2)
         reason = jnp.where(
-            done_p,
-            int(StopReason.PRECISION),
+            done_div,
+            int(StopReason.DIVERGED),
             jnp.where(
-                done_r,
-                int(StopReason.RESIDUAL),
+                done_p,
+                int(StopReason.PRECISION),
                 jnp.where(
-                    done_e,
-                    int(StopReason.EXACT_ERROR),
+                    done_r,
+                    int(StopReason.RESIDUAL),
                     jnp.where(
-                        done_rel,
-                        int(StopReason.RELATIVE_RESIDUAL),
-                        int(StopReason.ITERATIONS),
+                        done_e,
+                        int(StopReason.EXACT_ERROR),
+                        jnp.where(
+                            done_rel,
+                            int(StopReason.RELATIVE_RESIDUAL),
+                            int(StopReason.ITERATIONS),
+                        ),
                     ),
                 ),
             ),
         ).astype(jnp.int32)
-        return s._replace(done=done_p | done_r | done_e | done_rel, reason=reason)
+        return s._replace(
+            done=done_p | done_r | done_e | done_rel | done_div, reason=reason
+        )
 
     def cond(s: CGState):
         # r_norm2 == 0 guard mirrors solvers/cg.py: an exact iterate must not
@@ -324,8 +484,7 @@ def fused_cg_solve(
     fields; the returned ``CGResult.x`` is cropped back to the grid shape.
     f32 only (use the standard engine for f64 runs on CPU)."""
     opts = options or CGOptions()
-    if opts.preconditioner is not None:
-        raise ValueError("fused engine does not support preconditioners yet")
+    M = opts.preconditioner
     if opts.beta_kind != "msg":
         raise ValueError("fused engine implements the MSG recurrence only")
 
@@ -333,15 +492,22 @@ def fused_cg_solve(
     bp = op.pad(jnp.asarray(b, dtype))
     up_true = op.pad(jnp.asarray(u_true, dtype)) if u_true is not None else None
 
-    r2_0 = jnp.sum(bp * bp)
+    with jax.enable_x64(False):
+        r2_0 = jnp.sum(bp * bp)
+        if M is not None:
+            # PCG carries: z_0 = w_0 = M r_0 (beta forced to 0 folds w into
+            # the direction), rz = (r_0, w_0).
+            w0, rz0 = _pcg_init(M, bp)
+        else:
+            w0 = rz0 = None
     state = CGState(
         x=jnp.zeros_like(bp),
         r=bp,
-        z=jnp.zeros_like(bp),  # z_prev convention: z_0 = r + 0*z_prev = r
+        z=jnp.zeros_like(bp),  # z_prev convention: z_0 = (r|w) + 0*z_prev
         k=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
-        rz=jnp.asarray(1.0, dtype),  # unused at k=0 (beta forced to 0)
+        rz=rz0 if rz0 is not None else jnp.asarray(1.0, dtype),
         r_norm2=r2_0,
         prec_max=jnp.asarray(jnp.inf, dtype),
         r_max=jnp.max(jnp.abs(bp)),
@@ -349,9 +515,11 @@ def fused_cg_solve(
             jnp.max(jnp.abs(up_true)) if up_true is not None else jnp.asarray(jnp.inf, dtype)
         ),
         r0_norm=jnp.sqrt(r2_0),
+        w=w0,
+        rz_prev=jnp.asarray(1.0, dtype) if M is not None else None,
     )
 
-    engine = FusedCGEngine(op)
+    engine = _engine_for(op, M)
     fused_opts = CGOptions(
         stop=opts.stop,
         beta_kind="msg",

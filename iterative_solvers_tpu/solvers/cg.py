@@ -56,6 +56,11 @@ class CGState(NamedTuple):
     r_max: Array  # ‖r‖∞
     err_max: Array  # ‖x − u_true‖∞ (inf when no true solution given)
     r0_norm: Array  # ‖r₀‖₂, for the relative criterion
+    # Fused-PCG carries (kernels/cg_fused.py): w = M(r) for the current
+    # residual, and the previous (r, w) for the deferred beta. None (empty
+    # pytree leaves) on every other path.
+    w: Optional[Array] = None
+    rz_prev: Optional[Array] = None
 
 
 def _dot(a: Array, b: Array) -> Array:
@@ -379,7 +384,11 @@ def cg_solve(
         # tunnel RTT + the init program's completion wait per solve — the
         # dominant overhead of short preconditioned inner solves). The
         # zero-residual case is caught below as a no-progress chunk.
+        # Stats stay unsynced until the first chunk; seed them so an interrupt
+        # before any chunk still yields a well-formed INTERRUPTED result.
         k = 0
+        prec = rmax = emax = math.inf
+        r2 = r0n = float("nan")
 
     max_iter = stop.max_iterations
     cb_every = max(1, opts.callback_every)

@@ -109,23 +109,41 @@ class ChebyshevPreconditioner:
         return z
 
 
-def make_preconditioner(name: str, A, domain, **kwargs):
-    """Dispatcher used by the DirichletSolver facade."""
-    if name in ("jacobi", "diag"):
-        return JacobiPreconditioner.from_operator(A, domain)
-    if name.startswith("chebyshev"):
-        degree = kwargs.get("degree")
-        if degree is None and ":" in name:
-            degree = int(name.split(":", 1)[1])
-        return ChebyshevPreconditioner.from_domain(A, domain, degree or 4)
-    if name in ("mg", "multigrid") or name.startswith(("mg:", "multigrid:")):
-        from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+def parse_preconditioner(name: str) -> Tuple[str, int]:
+    """Validate a preconditioner spec string and return (kind, param).
 
-        nu = kwargs.get("nu")
-        if nu is None and ":" in name:
-            nu = int(name.split(":", 1)[1])
-        nu = nu or 1
-        return MultigridPreconditioner.from_domain(domain, nu_pre=nu, nu_post=nu)
+    kind ∈ {'jacobi', 'chebyshev', 'mg'}; param is the degree (chebyshev) or
+    nu (mg), 0 meaning default. Raises ValueError on anything malformed so the
+    facade can reject bad configs at construction time."""
+    base, _, arg = name.partition(":")
+    try:
+        param = int(arg) if arg else 0
+    except ValueError:
+        raise ValueError(f"non-integer parameter in preconditioner spec {name!r}")
+    if param < 0:
+        raise ValueError(f"negative parameter in preconditioner spec {name!r}")
+    if base in ("jacobi", "diag"):
+        if arg:
+            raise ValueError(f"'jacobi' takes no parameter (got {name!r})")
+        return "jacobi", 0
+    if base == "chebyshev":
+        return "chebyshev", param
+    if base in ("mg", "multigrid"):
+        return "mg", param
     raise ValueError(
         f"unknown preconditioner {name!r} (use 'jacobi', 'chebyshev[:m]' or 'mg[:nu]')"
     )
+
+
+def make_preconditioner(name: str, A, domain, **kwargs):
+    """Dispatcher used by the DirichletSolver facade."""
+    kind, param = parse_preconditioner(name)
+    if kind == "jacobi":
+        return JacobiPreconditioner.from_operator(A, domain)
+    if kind == "chebyshev":
+        degree = kwargs.get("degree") or param
+        return ChebyshevPreconditioner.from_domain(A, domain, degree or 4)
+    from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+
+    nu = kwargs.get("nu") or param or 1
+    return MultigridPreconditioner.from_domain(domain, nu_pre=nu, nu_post=nu)

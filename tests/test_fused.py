@@ -95,12 +95,22 @@ def test_fused_facade():
     assert rf.residual_norm == pytest.approx(rf.residual_norm, rel=1e-3)
 
 
+def test_fused_divergence_reason():
+    # Overflowing RHS: ‖r‖² is inf at init, the first iteration's scalars go
+    # NaN — the engine must report DIVERGED. Round-1 bug: the chunk fell out
+    # of the loop via the r_norm2 > 0 guard with reason still ITERATIONS.
+    dom, pal, std, b, u = _setup()
+    b_huge = jnp.asarray(b, jnp.float32) * jnp.float32(1e30)
+    stop = StopConfig(max_iterations=50).disable_all_but_iterations()
+    rf = fused_cg_solve(pal, b_huge, options=CGOptions(stop=stop))
+    assert rf.reason == StopReason.DIVERGED
+    assert not rf.converged
+
+
 def test_fused_rejects_unsupported():
     dom, pal, std, b, u = _setup()
     with pytest.raises(ValueError):
         fused_cg_solve(pal, b, options=CGOptions(beta_kind="fr"))
-    with pytest.raises(ValueError):
-        fused_cg_solve(pal, b, options=CGOptions(preconditioner=lambda r: r))
 
 
 def test_fused_rect_domain():
@@ -113,3 +123,66 @@ def test_fused_rect_domain():
     rs = cg_solve(StencilOperator.from_domain(dom), b, options=CGOptions(stop=stop))
     assert rf.iterations == rs.iterations
     np.testing.assert_allclose(np.asarray(rf.x), np.asarray(rs.x), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_pcg_matches_standard_pcg():
+    # Fused PCG (V-cycle between K2 and the next K1) must reproduce the
+    # standard PCG path's iterate sequence at f32 round-off.
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+    )
+
+    dom, pal, std, b, u = _setup(n=16)
+    Mstd = MultigridPreconditioner.from_domain(dom)
+    Mpal = PaddedPreconditioner(inner=Mstd, padded_op=pal)
+    stop = StopConfig(max_iterations=8).disable_all_but_iterations()
+    rf = fused_cg_solve(
+        pal, b, u_true=u, options=CGOptions(stop=stop, preconditioner=Mpal)
+    )
+    rs = cg_solve(std, b, u_true=u, options=CGOptions(stop=stop, preconditioner=Mstd))
+    assert rf.iterations == rs.iterations == 8
+    np.testing.assert_allclose(np.asarray(rf.x), np.asarray(rs.x), rtol=2e-5, atol=2e-5)
+    assert rf.residual_max == pytest.approx(rs.residual_max, rel=1e-3)
+    assert rf.precision_max == pytest.approx(rs.precision_max, rel=1e-3)
+
+
+def test_fused_pcg_converges_and_stops():
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+    )
+
+    dom, pal, std, b, u = _setup(n=32)
+    M = PaddedPreconditioner(
+        inner=MultigridPreconditioner.from_domain(dom), padded_op=pal
+    )
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-6, max_iterations=100
+    )
+    rf = fused_cg_solve(pal, b, options=CGOptions(stop=stop, preconditioner=M))
+    assert rf.converged and rf.reason == StopReason.RELATIVE_RESIDUAL
+    # MG-PCG is resolution-independent: a handful of iterations, not O(n)
+    assert rf.iterations < 20
+    rs = cg_solve(
+        StencilOperator.from_domain(dom),
+        b,
+        options=CGOptions(
+            stop=stop, preconditioner=MultigridPreconditioner.from_domain(dom)
+        ),
+    )
+    assert rf.iterations == rs.iterations
+
+
+def test_fused_pcg_facade():
+    stop = StopConfig(eps_precision=-1, eps_residual=-1, eps_relative=1e-5,
+                      max_iterations=200)
+    rf = DirichletSolver(
+        nx=16, ny=16, operator="fused", preconditioner="mg", stop=stop
+    ).solve()
+    assert rf.converged
+    rs = DirichletSolver(
+        nx=16, ny=16, operator="stencil", preconditioner="mg", stop=stop
+    ).solve()
+    assert rf.iterations == rs.iterations
+    np.testing.assert_allclose(rf.solution, rs.solution, rtol=1e-4, atol=1e-5)
