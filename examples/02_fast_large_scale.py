@@ -13,8 +13,6 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import jax
 
 jax.config.update("jax_enable_x64", True)  # the f64 outer refinement loop

@@ -97,7 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
 def _configure_platform(platform: Optional[str]) -> None:
     import jax
 
-    if platform == "cpu" or (platform is None and os.environ.get("ISTPU_FORCE_CPU")):
+    # JAX_PLATFORMS=cpu must win even when a sitecustomize pre-forces the
+    # platform config at interpreter start (the env var alone is then ignored
+    # and an apparently-CPU run silently compiles over a TPU tunnel).
+    force_cpu = platform is None and (
+        os.environ.get("ISTPU_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cpu"
+    )
+    if platform == "cpu" or force_cpu:
         jax.config.update("jax_platforms", "cpu")
     if platform == "cpu":
         jax.config.update("jax_enable_x64", True)
