@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--platform", choices=["cpu", "tpu"], default=None)
     s.add_argument("--progress-every", type=int, default=100,
                    help="live trace cadence (0 silences it)")
+    s.add_argument("--live", action="store_true",
+                   help="live TUI: in-place progress panel with log10 residual "
+                   "sparkline; press q to cancel (reference GUI live view)")
     s.add_argument("--save", metavar="PATH", help="sectioned-text results file")
     s.add_argument("--save-npz", metavar="PATH", help="npz results file")
     s.add_argument("--save-matrix", metavar="PATH", help="CSR matrix + RHS dump")
@@ -161,6 +164,14 @@ def cmd_solve(args) -> int:
         profiler = Profiler()
 
     def run():
+        if args.live:
+            from iterative_solvers_tpu.tui import live_solve
+
+            return live_solve(
+                solver,
+                callback_every=max(1, args.progress_every),
+                profiler=profiler,
+            )
         return solver.solve(
             callback=callback,
             callback_every=max(1, args.progress_every),
