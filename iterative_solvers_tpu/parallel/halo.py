@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -116,50 +117,133 @@ class ShardedStencilOperator:
 
     Construct with :meth:`from_domain`; call on fields produced by
     :func:`iterative_solvers_tpu.parallel.mesh.shard_field`.
+
+    The interior mask is never stored on device: for the standard shapes it
+    is recomputed per block from ``axis_index`` offsets + iota comparisons
+    (free on the VPU, fuses into the stencil, zero HBM traffic) — which also
+    makes the operator safe under multi-controller jit, where closing over a
+    process-spanning array is an error. Custom masks fall back to a host
+    constant embedded at trace time.
     """
 
     mesh: Mesh
-    interior: jnp.ndarray  # padded + sharded bool mask
     coeffs: Tuple[float, ...]  # (cd, cx, cy[, cz])
     grid_shape: Tuple[int, ...]  # unpadded shape, for cropping
+    padded_shape: Tuple[int, ...]  # mesh-divisible
+    mask_kind: str  # 'gamma' | 'rect' | 'box3' | 'custom'
+    dims: Tuple[int, ...]  # (nx, ny) or (nx, ny, nz) interval counts
+    interior_host: Optional[np.ndarray] = None  # padded; custom masks only
 
     @staticmethod
     def from_domain(domain, mesh: Mesh, dtype=None) -> "ShardedStencilOperator":
-        interior = mesh_lib.shard_field(jnp.asarray(domain.interior), mesh)
+        padded = mesh_lib.padded_grid_shape(domain.grid_shape, mesh)
         coeffs = (domain.coeff_diag, domain.coeff_x, domain.coeff_y)
+        host = None
         if hasattr(domain, "coeff_z"):
             coeffs = coeffs + (domain.coeff_z,)
-        return ShardedStencilOperator(mesh, interior, coeffs, domain.grid_shape)
+            kind, dims = "box3", (domain.nx, domain.ny, domain.nz)
+        elif getattr(domain, "shape", "custom") in ("gamma", "rect"):
+            kind, dims = domain.shape, (domain.nx, domain.ny)
+        else:
+            kind, dims = "custom", (domain.nx, domain.ny)
+            host = np.asarray(
+                mesh_lib.pad_field(np.asarray(domain.interior), mesh)
+            )
+        return ShardedStencilOperator(
+            mesh, coeffs, domain.grid_shape, padded, kind, dims, host
+        )
+
+    # --- interior mask ------------------------------------------------------
+
+    def _mask_pred(self):
+        """(index grids…) -> bool predicate over GLOBAL node indices; padded
+        indices beyond the grid test False automatically."""
+        if self.mask_kind == "box3":
+            nx, ny, nz = self.dims
+
+            def pred3(zi, yi, xi):
+                return (
+                    (zi > 0) & (zi < nz) & (yi > 0) & (yi < ny) & (xi > 0) & (xi < nx)
+                )
+
+            return pred3
+        from iterative_solvers_tpu.kernels.stencil_pallas import _interior_pred
+
+        nx, ny = self.dims
+        return _interior_pred(self.mask_kind, nx, ny)
+
+    def _block_mask(self, block_shape, ay, ax):
+        """Interior mask of THIS block (inside shard_map): block-local iotas
+        offset by the block's global position."""
+        if self.mask_kind == "custom":
+            raise AssertionError("custom masks use the operand path")
+        pred = self._mask_pred()
+        i32 = jnp.int32
+        if len(block_shape) == 3:
+            zi = lax.broadcasted_iota(i32, block_shape, 0) + lax.axis_index(ay) * block_shape[0]
+            yi = lax.broadcasted_iota(i32, block_shape, 1)
+            xi = lax.broadcasted_iota(i32, block_shape, 2) + lax.axis_index(ax) * block_shape[2]
+            return pred(zi, yi, xi)
+        ri = lax.broadcasted_iota(i32, block_shape, 0) + lax.axis_index(ay) * block_shape[0]
+        ci = lax.broadcasted_iota(i32, block_shape, 1) + lax.axis_index(ax) * block_shape[1]
+        return pred(ri, ci)
+
+    def _interior_global(self) -> np.ndarray:
+        """Padded interior mask as a host array (IO/debug/nnz; never device)."""
+        if self.mask_kind == "custom":
+            return self.interior_host
+        grids = np.indices(self.padded_shape)
+        if len(self.padded_shape) == 3:
+            return np.asarray(self._mask_pred()(grids[0], grids[1], grids[2]))
+        return np.asarray(self._mask_pred()(grids[0], grids[1]))
+
+    @property
+    def interior(self) -> np.ndarray:
+        return self._interior_global()
+
+    # --- apply --------------------------------------------------------------
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        ay, ax = self.mesh.axis_names[0], self.mesh.axis_names[-1]
+        # On a hybrid DCN×ICI mesh the row dim shards over every axis but the
+        # last (('slice', 'y') combined): the ppermutes then carry intra-slice
+        # halo rows over ICI and the one slice-boundary row over DCN — lax
+        # collectives take axis-name tuples and GSPMD places each pair.
+        names = self.mesh.axis_names
+        ay = names[0] if len(names) == 2 else tuple(names[:-1])
+        ax = names[-1]
         spec = mesh_lib.field_spec(self.mesh, x.ndim)
         if len(self.coeffs) == 4:
-            fn = partial(_halo_apply_3d, cd=self.coeffs[0], cx=self.coeffs[1],
-                         cy=self.coeffs[2], cz=self.coeffs[3], az=ay, ax=ax)
+            body = partial(_halo_apply_3d, cd=self.coeffs[0], cx=self.coeffs[1],
+                           cy=self.coeffs[2], cz=self.coeffs[3], az=ay, ax=ax)
         else:
-            fn = partial(_halo_apply_2d, cd=self.coeffs[0], cx=self.coeffs[1],
-                         cy=self.coeffs[2], ay=ay, ax=ax)
+            body = partial(_halo_apply_2d, cd=self.coeffs[0], cx=self.coeffs[1],
+                           cy=self.coeffs[2], ay=ay, ax=ax)
+        if self.mask_kind == "custom":
+            interior = jnp.asarray(self.interior_host)
+            return jax.shard_map(
+                body, mesh=self.mesh, in_specs=(spec, spec), out_specs=spec
+            )(x, interior)
+
+        def fn(xb):
+            return body(xb, self._block_mask(xb.shape, ay, ax))
+
         return jax.shard_map(
-            fn,
-            mesh=self.mesh,
-            in_specs=(spec, spec),
-            out_specs=spec,
-        )(x, self.interior)
+            fn, mesh=self.mesh, in_specs=(spec,), out_specs=spec
+        )(x)
 
     @property
     def shape(self):
-        return self.interior.shape
+        return self.padded_shape
 
     def mask(self, x: jnp.ndarray) -> jnp.ndarray:
-        return jnp.where(self.interior, x, 0)
+        return jnp.where(jnp.asarray(self._interior_global()), x, 0)
 
     def diagonal(self) -> jnp.ndarray:
-        return jnp.where(self.interior, self.coeffs[0], 0.0)
+        return jnp.where(jnp.asarray(self._interior_global()), self.coeffs[0], 0.0)
 
     def nnz(self) -> int:
         from iterative_solvers_tpu.ops.stencil import StencilOperator
 
         return StencilOperator(
-            jnp.asarray(self.interior), self.coeffs, ndim=len(self.grid_shape)
+            jnp.asarray(self._interior_global()), self.coeffs, ndim=len(self.grid_shape)
         ).nnz()

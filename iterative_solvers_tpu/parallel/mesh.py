@@ -54,8 +54,11 @@ def make_solver_mesh(
 
 def padded_grid_shape(grid_shape: Tuple[int, ...], mesh: Mesh) -> Tuple[int, ...]:
     """Grid shape rounded up so each mesh axis divides its dimension.
-    Only the leading two dims are partitioned (y rows, x cols)."""
-    my, mx = mesh.devices.shape
+    The row dim shards over every mesh axis but the last (on a hybrid
+    DCN×ICI mesh that is ('slice', 'y') combined), the column dim over the
+    last axis."""
+    my = math.prod(mesh.devices.shape[:-1])
+    mx = mesh.devices.shape[-1]
     out = list(grid_shape)
     out[0] = -(-out[0] // my) * my
     out[-1] = -(-out[-1] // mx) * mx
@@ -81,19 +84,29 @@ def crop_field(field, grid_shape: Tuple[int, ...]):
 
 def field_spec(mesh: Mesh, ndim: int = 2) -> P:
     """Partition the leading and trailing field dims over the mesh axes
-    (2D: rows/cols; 3D: z-planes/x-columns with y unsharded)."""
+    (2D: rows/cols; 3D: z-planes/x-columns with y unsharded). On a hybrid
+    mesh the row dim shards over the combined ('slice', …, 'y') axes —
+    slice-boundary halo rows then ride DCN, everything else ICI."""
     axes = mesh.axis_names
     if len(axes) < 2:
         return P(axes[0])
     middle = (None,) * (ndim - 2)
-    return P(axes[0], *middle, axes[-1])
+    row = axes[0] if len(axes) == 2 else tuple(axes[:-1])
+    return P(row, *middle, axes[-1])
 
 
 def shard_field(field, mesh: Mesh, spec: Optional[P] = None):
-    """Pad + place a full-grid field onto the mesh, block-partitioned."""
-    f = pad_field(jnp.asarray(field), mesh)
-    spec = spec or field_spec(mesh, f.ndim)
-    return jax.device_put(f, NamedSharding(mesh, spec))
+    """Pad + place a full-grid field onto the mesh, block-partitioned.
+
+    Works in multi-controller runs too: when the mesh spans processes, each
+    process materialises only its addressable shards from the (host-global)
+    field via ``make_array_from_callback``."""
+    spec = spec or field_spec(mesh, np.ndim(field))
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        f = pad_field(np.asarray(field), mesh)
+        return jax.make_array_from_callback(f.shape, sharding, lambda idx: f[idx])
+    return jax.device_put(pad_field(jnp.asarray(field), mesh), sharding)
 
 
 def make_sharded_problem(problem, mesh: Mesh, dtype=None):
