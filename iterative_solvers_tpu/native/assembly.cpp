@@ -118,6 +118,39 @@ std::int64_t ist_assemble_csr(int nx, int ny, int shape, double cd, double cx,
   return nnz;
 }
 
+// 3D 7-point box assembly (core/domain.py Domain3D: interior is the open
+// box 1..n-1 in every dimension; unknowns ranked row-major over (z, y, x)).
+// Closed-form ranks, entries emitted in ascending column order
+// (z-1, y-1, x-1, diag, x+1, y+1, z+1). Returns nnz, or -1 on capacity.
+std::int64_t ist_assemble_csr3d(int nx, int ny, int nz, double cd, double cx,
+                                double cy, double cz, std::int64_t capacity,
+                                std::int64_t* row_map, std::int64_t* entries,
+                                double* values) {
+  const std::int64_t mx = nx - 1, my = ny - 1, mz = nz - 1;
+  std::int64_t nnz = 0, row = 0;
+  row_map[0] = 0;
+  for (std::int64_t iz = 1; iz <= mz; ++iz)
+    for (std::int64_t iy = 1; iy <= my; ++iy)
+      for (std::int64_t ix = 1; ix <= mx; ++ix) {
+        const std::int64_t dz[7] = {-1, 0, 0, 0, 0, 0, 1};
+        const std::int64_t dy[7] = {0, -1, 0, 0, 0, 1, 0};
+        const std::int64_t dx[7] = {0, 0, -1, 0, 1, 0, 0};
+        const double cv[7] = {cz, cy, cx, cd, cx, cy, cz};
+        for (int k = 0; k < 7; ++k) {
+          const std::int64_t jz = iz + dz[k], jy = iy + dy[k], jx = ix + dx[k];
+          if (jz < 1 || jz > mz || jy < 1 || jy > my || jx < 1 || jx > mx)
+            continue;
+          if (nnz >= capacity) return -1;
+          entries[nnz] = ((jz - 1) * my + (jy - 1)) * mx + (jx - 1);
+          values[nnz] = cv[k];
+          ++nnz;
+        }
+        ++row;
+        row_map[row] = nnz;
+      }
+  return nnz;
+}
+
 // Physical coordinates of each unknown, compacted order.
 void ist_node_coords(int nx, int ny, int shape, double x0, double x1,
                      double y0, double y1, double* xs, double* ys) {

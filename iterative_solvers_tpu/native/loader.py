@@ -69,6 +69,10 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.ist_ranks.argtypes = [i32, i32, i32, pi64]
             lib.ist_assemble_csr.restype = i64
             lib.ist_assemble_csr.argtypes = [i32, i32, i32, f64, f64, f64, i64, pi64, pi64, pf64]
+            lib.ist_assemble_csr3d.restype = i64
+            lib.ist_assemble_csr3d.argtypes = [
+                i32, i32, i32, f64, f64, f64, f64, i64, pi64, pi64, pf64
+            ]
             lib.ist_node_coords.restype = None
             lib.ist_node_coords.argtypes = [i32, i32, i32, f64, f64, f64, f64, pf64, pf64]
             _lib = lib
@@ -96,11 +100,30 @@ def num_unknowns_native(domain) -> Optional[int]:
 
 
 def assemble_csr_native(domain) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """(row_map, entries, values) or None when unsupported (custom masks, 3D,
-    no compiler)."""
+    """(row_map, entries, values) or None when unsupported (custom masks,
+    no compiler). 3D box domains route to the 7-point engine."""
     lib = _load()
+    if lib is None or not hasattr(domain, "nx"):
+        return None
+    if hasattr(domain, "nz"):
+        n = (domain.nx - 1) * (domain.ny - 1) * (domain.nz - 1)
+        cap = 7 * n
+        row_map = np.zeros(n + 1, dtype=np.int64)
+        entries = np.zeros(cap, dtype=np.int64)
+        values = np.zeros(cap, dtype=np.float64)
+        nnz = int(
+            lib.ist_assemble_csr3d(
+                domain.nx, domain.ny, domain.nz,
+                float(domain.coeff_diag), float(domain.coeff_x),
+                float(domain.coeff_y), float(domain.coeff_z),
+                cap, row_map, entries, values,
+            )
+        )
+        if nnz < 0:
+            return None
+        return row_map, entries[:nnz], values[:nnz]
     code = _shape_code(domain)
-    if lib is None or code is None or not hasattr(domain, "nx") or hasattr(domain, "nz"):
+    if code is None:
         return None
     n = int(lib.ist_num_unknowns(domain.nx, domain.ny, code))
     cap = 5 * n

@@ -88,9 +88,9 @@ def assemble_csr(domain, dtype=np.float64, backend: str = "auto") -> Tuple[np.nd
     (solver/grid_system.cpp:122-155) up to within-row entry order.
 
     ``backend='auto'`` uses the native C++ engine (native/assembly.cpp) for
-    rect/gamma 2D domains and falls back to the vectorized NumPy builder for
-    custom masks and 3D; 'native' requires the engine, 'numpy' skips it."""
-    if backend in ("auto", "native") and not isinstance(domain, Domain3D):
+    rect/gamma 2D domains and 3D boxes, falling back to the vectorized NumPy
+    builder for custom masks; 'native' requires the engine, 'numpy' skips it."""
+    if backend in ("auto", "native"):
         from iterative_solvers_tpu.native import assemble_csr_native
 
         out = assemble_csr_native(domain)
@@ -99,8 +99,6 @@ def assemble_csr(domain, dtype=np.float64, backend: str = "auto") -> Tuple[np.nd
             return row_map, entries, values.astype(dtype, copy=False)
         if backend == "native":
             raise RuntimeError("native assembly unavailable for this domain")
-    elif backend == "native":
-        raise RuntimeError("native assembly does not support 3D domains yet")
     rows, cols, vals = assemble_coo(domain, dtype)
     n = domain.num_unknowns
     row_map = np.zeros(n + 1, dtype=np.int64)

@@ -109,3 +109,21 @@ def test_results_io_large_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded.solution, res.solution)
     np.testing.assert_array_equal(loaded.residual, res.residual)
     assert loaded.iterations == res.iterations
+
+
+def test_native_3d_assembly_matches_numpy():
+    # The 7-point C++ engine must emit byte-identical CSR to the vectorized
+    # NumPy builder (same compacted z,y,x row-major ranks, ascending columns).
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.native.loader import assemble_csr_native
+    from iterative_solvers_tpu.ops.sparse import assemble_csr
+
+    dom = Domain3D(nx=6, ny=5, nz=4)
+    native = assemble_csr_native(dom)
+    if native is None:
+        pytest.skip("no C++ compiler available")
+    rm_n, en_n, vv_n = native
+    rm_p, en_p, vv_p = assemble_csr(dom, backend="numpy")
+    np.testing.assert_array_equal(rm_n, rm_p)
+    np.testing.assert_array_equal(en_n, en_p)
+    np.testing.assert_array_equal(vv_n, vv_p)
