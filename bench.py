@@ -645,16 +645,47 @@ def _run_mode() -> None:
         return
 
     dom = Domain2D(nx=n, ny=n)
-    op = PallasStencilOperator.from_domain(dom)
+    # block_rows=256 is the measured sweet spot of the in-place kernel; the
+    # operator's padding follows the block size
+    op = PallasStencilOperator.from_domain(dom, block_rows=256 if on_tpu else None)
     nnz = StencilOperator.from_domain(dom).nnz()
     n_grid = (n + 1) * (n + 1)
 
-    @jax.jit
-    def chain(a, k):
-        # scale each apply so values stay finite across iterations; the
-        # multiply fuses into the kernel epilogue
-        y = jax.lax.fori_loop(0, k, lambda _, v: op(v) * 7e-6, a)
-        return jnp.sum(y)
+    if on_tpu:
+        # The roofline path: donated-input SpMV writing in place (the
+        # aliased ~2x-bandwidth mode of this HBM; side-buffer halo staging
+        # makes it race-free — kernels/stencil_pipelined.py). The per-apply
+        # scale keeping iterated values finite is folded into the kernel
+        # epilogue so the chain is pure SpMV.
+        from iterative_solvers_tpu.kernels.stencil_pipelined import (
+            pallas_stencil_apply_inplace,
+        )
+
+        cd, cx, cy = op.coeffs
+
+        @jax.jit
+        def chain(a, k):
+            return jnp.sum(
+                jax.lax.fori_loop(
+                    0,
+                    k,
+                    lambda _, v: pallas_stencil_apply_inplace(
+                        v, nx=op.nx, ny=op.ny, cd=cd, cx=cx, cy=cy,
+                        block_rows=op.block_rows, mask_mode=op.mask_mode,
+                        scale=7e-6,
+                    ),
+                    a,
+                )
+            )
+
+    else:
+
+        @jax.jit
+        def chain(a, k):
+            # scale each apply so values stay finite across iterations; the
+            # multiply fuses into the kernel epilogue
+            y = jax.lax.fori_loop(0, k, lambda _, v: op(v) * 7e-6, a)
+            return jnp.sum(y)
 
     x = jnp.ones(op.padded_shape, jnp.float32)
     float(chain(x, jnp.asarray(2)))  # compile + warm
