@@ -65,7 +65,10 @@ def _stencil_rows(xe, be, mr, cd, cx, cy, wp):
 def _make_k_down(nx, ny, cd, cx, cy, cs, by, wp, mask_mode):
     pred = _interior_pred(mask_mode, nx, ny)
 
-    def kernel(b_ref, up_ref, dn_ref, x_ref, rr_ref):
+    def kernel(b_ref, up_ref, dn_ref, rr_ref):
+        # The pre-smoothed iterate x = (ω/d)·b is NOT written: K_up
+        # reconstructs it from b in registers, saving 8 B/node of HBM traffic
+        # (a write here + a read there) per fused level.
         i = pl.program_id(0)
         row0 = i * by
         m = _mask_at(pred, row0, (by, wp))
@@ -74,7 +77,6 @@ def _make_k_down(nx, ny, cd, cx, cy, cs, by, wp, mask_mode):
         dn1 = jnp.where(_mask_at(pred, row0 + by, (1, wp)), dn_ref[:1, :], 0.0)
         ext_b = jnp.concatenate([up2, bm, dn1], axis=0)  # rows row0-2 .. row0+by
         x_ext = cs * ext_b  # pre-smooth from zero: x = (ω/d)·b, already masked
-        x_ref[...] = x_ext[2 : by + 2]
         # residual rows row0-1 .. row0+by-1 (what row-restriction consumes)
         mr = _mask_at(pred, row0 - 1, (by + 1, wp))
         R = _stencil_rows(x_ext, ext_b[1 : by + 2], mr, cd, cx, cy, wp)
@@ -100,14 +102,17 @@ def _make_k_up(nx, ny, cd, cx, cy, cs, by, wp, mask_mode, ch):
         ri = lax.broadcasted_iota(jnp.int32, (rows, wp), 0) + g0
         return (ri >= 0) & (ri < ch)
 
-    def kernel(x_ref, xup_ref, xdn_ref, b_ref, ec_ref, ecup_ref, ecdn_ref, o_ref):
+    def kernel(b_ref, bup_ref, bdn_ref, ec_ref, ecup_ref, ecdn_ref, o_ref):
+        # The pre-smoothed iterate is reconstructed as x = (ω/d)·b in
+        # registers (K_down no longer writes it), including its halo rows
+        # from the b halo groups.
         i = pl.program_id(0)
         row0 = i * by
         half = by // 2
         g0 = i * half  # first coarse row of this panel
         m = _mask_at(pred, row0, (by, wp))
         bm = jnp.where(m, b_ref[...], 0.0)
-        x = jnp.where(m, x_ref[...], 0.0)
+        x = cs * bm
         # coarse correction rows g0-1 .. g0+half
         ec_m = jnp.where(rows_valid(g0, half), ec_ref[...], 0.0)
         ec_a = jnp.where(rows_valid(g0 - 1, 1), ecup_ref[-1:, :], 0.0)
@@ -120,8 +125,12 @@ def _make_k_up(nx, ny, cd, cx, cy, cs, by, wp, mask_mode, ch):
         p_above = 0.5 * (ec_a + ec_m[:1])  # fine row row0-1 (odd)
         p_below = ec_b  # fine row row0+by (even)
         xc = x + jnp.where(m, p, 0.0)
-        xa = jnp.where(_mask_at(pred, row0 - 1, (1, wp)), xup_ref[-1:, :] + p_above, 0.0)
-        xb = jnp.where(_mask_at(pred, row0 + by, (1, wp)), xdn_ref[:1, :] + p_below, 0.0)
+        xa = jnp.where(
+            _mask_at(pred, row0 - 1, (1, wp)), cs * bup_ref[-1:, :] + p_above, 0.0
+        )
+        xb = jnp.where(
+            _mask_at(pred, row0 + by, (1, wp)), cs * bdn_ref[:1, :] + p_below, 0.0
+        )
         xc_ext = jnp.concatenate([xa, xc, xb], axis=0)
         # post-smooth: x + (ω/d)·(b − A x_corrected)
         R = _stencil_rows(xc_ext, bm, m, cd, cx, cy, wp)
@@ -143,14 +152,16 @@ class FusedLevelKernels:
     block_rows: int  # multiple of 16
     interpret: bool
 
-    def down(self, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(x_presmooth, rows-restricted residual) from the level RHS."""
+    def down(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Rows-restricted residual of the pre-smoothed iterate, from the
+        level RHS. (The iterate itself, x = (ω/d)·b, is never materialised —
+        :meth:`up` reconstructs it from ``b`` in registers.)"""
         # Mosaic rejects i64 BlockSpec index-map values; trace the call with
         # x64 locally off (the kernels are f32-only), cf. cg_fused.py.
         with jax.enable_x64(False):
             return self._down(b)
 
-    def _down(self, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _down(self, b: jnp.ndarray) -> jnp.ndarray:
         hp, wp = self.padded_shape
         by = self.block_rows
         cd, cx, cy = self.coeffs
@@ -167,25 +178,19 @@ class FusedLevelKernels:
                     (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, gy - 1), 0)
                 ),
             ],
-            out_specs=(
-                pl.BlockSpec((by, wp), lambda i: (i, 0)),
-                pl.BlockSpec((by // 2, wp), lambda i: (i, 0)),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((hp, wp), b.dtype),
-                jax.ShapeDtypeStruct((hp // 2, wp), b.dtype),
-            ),
+            out_specs=pl.BlockSpec((by // 2, wp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((hp // 2, wp), b.dtype),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
             interpret=self.interpret,
         )(b, b, b)
 
-    def up(self, x: jnp.ndarray, b: jnp.ndarray, ec_lanes: jnp.ndarray) -> jnp.ndarray:
+    def up(self, b: jnp.ndarray, ec_lanes: jnp.ndarray) -> jnp.ndarray:
         """Post-smoothed corrected iterate; ``ec_lanes`` is the lane-prolonged
         coarse correction on this level's (hp/2, wp) row layout."""
         with jax.enable_x64(False):
-            return self._up(x, b, ec_lanes)
+            return self._up(b, ec_lanes)
 
-    def _up(self, x: jnp.ndarray, b: jnp.ndarray, ec_lanes: jnp.ndarray) -> jnp.ndarray:
+    def _up(self, b: jnp.ndarray, ec_lanes: jnp.ndarray) -> jnp.ndarray:
         hp, wp = self.padded_shape
         by = self.block_rows
         cd, cx, cy = self.coeffs
@@ -206,7 +211,6 @@ class FusedLevelKernels:
                 pl.BlockSpec(
                     (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, gy - 1), 0)
                 ),
-                pl.BlockSpec((by, wp), lambda i: (i, 0)),
                 pl.BlockSpec((by // 2, wp), lambda i: (i, 0)),
                 pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * half8 - 1, 0), 0)),
                 pl.BlockSpec(
@@ -214,10 +218,10 @@ class FusedLevelKernels:
                 ),
             ],
             out_specs=pl.BlockSpec((by, wp), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((hp, wp), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((hp, wp), b.dtype),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
             interpret=self.interpret,
-        )(x, x, x, b, ec_lanes, ec_lanes, ec_lanes)
+        )(b, b, b, ec_lanes, ec_lanes, ec_lanes)
 
 
 def lane_restrict(rr: jnp.ndarray, nx: int, wc_pad: int) -> jnp.ndarray:

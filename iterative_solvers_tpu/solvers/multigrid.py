@@ -375,14 +375,20 @@ class MultigridPreconditioner:
                 )
 
                 hp, wp = lev.kernels.padded_shape
-                bp = lev.pad_in(b)
-                xp, rr = lev.kernels.down(bp)
+                # Layout pass-through: a field already in this level's padded
+                # layout (e.g. from the padded Pallas CG engine) skips the
+                # full-field pad and crop copies — two HBM sweeps per level
+                # entry that pure layout shuffling does not deserve.
+                padded_in = b.shape == (hp, wp)
+                bp = b if padded_in else lev.pad_in(b)
+                rr = lev.kernels.down(bp)
                 rc = lane_restrict(rr[: lev.ch], lev.nx, lev.cw)
                 rc = jnp.where(lev.child_interior, rc, 0.0)
                 ec = self._vcycle(li + 1, rc)
                 ecl = lane_prolong(ec, lev.nx // 2, wp)
                 ecl = jnp.pad(ecl, ((0, hp // 2 - lev.ch), (0, 0)))
-                return lev.kernels.up(xp, bp, ecl)[: lev.h, : lev.w]
+                out = lev.kernels.up(bp, ecl)
+                return out if padded_in else out[: lev.h, : lev.w]
             # non-f32 field (e.g. the escalated f64 inner solve of
             # solvers/refine.py): the Pallas kernels are f32-only — take the
             # jnp leg of this level instead
@@ -400,12 +406,23 @@ class MultigridPreconditioner:
             x = x + lev.omega_over_diag * (b - lev.apply(x))
         return x
 
+    def accepts_padded(self, shape) -> bool:
+        """True when fields of ``shape`` are this preconditioner's fine
+        padded layout (the fused kernels' own) — such fields pass through
+        the V-cycle with no pad/crop copies and a padded result."""
+        lev0 = self.levels[0]
+        return isinstance(lev0, _FusedLevel) and tuple(shape) == tuple(
+            lev0.kernels.padded_shape
+        )
+
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         lev0 = self.levels[0]
         shape0 = (
             (lev0.h, lev0.w) if isinstance(lev0, _FusedLevel) else lev0.interior.shape
         )
-        if r.shape != shape0:
+        if r.shape != shape0 and not (
+            r.dtype == jnp.float32 and self.accepts_padded(r.shape)
+        ):
             raise ValueError(f"field shape {r.shape} != fine-level grid {shape0}")
         return self._vcycle(0, r)
 
@@ -457,4 +474,9 @@ class PaddedPreconditioner:
     padded_op: object  # needs .crop(x) and .pad(x)
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        # When the operator's padded layout IS the V-cycle's own (default
+        # block sizes make them agree), skip the four full-field copies.
+        accepts = getattr(self.inner, "accepts_padded", None)
+        if accepts is not None and r.dtype == jnp.float32 and accepts(r.shape):
+            return self.inner(r)
         return self.padded_op.pad(self.inner(self.padded_op.crop(r)))

@@ -101,6 +101,7 @@ def refined_solve(
     callback: Optional[Callable[[int, float, float, float], None]] = None,
     stop_requested: Optional[Callable[[], bool]] = None,
     profiler=None,
+    inner_solve_fn: Optional[Callable] = None,
 ) -> RefinedResult:
     """Solve ``A x = b`` to high-precision stopping criteria via mixed-precision
     iterative refinement.
@@ -212,11 +213,14 @@ def refined_solve(
             break
 
         with phase("inner_solve"):
-            inner = cg_solve(
-                A_lo,
-                r.astype(cur_dtype),
-                options=inner_options(adaptive_inner_tol(r_max, r_norm)),
-            )
+            opts = inner_options(adaptive_inner_tol(r_max, r_norm))
+            if inner_solve_fn is not None and cur_dtype == lo_dtype:
+                # fast-engine hook (e.g. the fused Pallas PCG,
+                # kernels/cg_fused.py) — f32 only; the escalated high-
+                # precision polish falls back to the standard path below
+                inner = inner_solve_fn(r.astype(cur_dtype), opts)
+            else:
+                inner = cg_solve(A_lo, r.astype(cur_dtype), options=opts)
         with phase("outer_residual"):
             # accumulate + true residual + stats: one program, one transfer
             x, r, stats_dev = _outer_update(A_hi, x, inner.x, b, u_true)

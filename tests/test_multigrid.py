@@ -362,3 +362,27 @@ def test_refine_escalation_with_fused_mg():
     )
     assert res.escalated
     assert res.converged and res.residual_max < 1e-9
+
+
+def test_fused_padded_passthrough():
+    # A field already in the fine level's padded layout must pass through the
+    # V-cycle with no pad/crop copies and come back padded, numerically equal
+    # to the unpadded path.
+    import jax
+
+    dom = Domain2D(nx=32, ny=32)
+    M = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    lev0 = M.levels[0]
+    hp, wp = lev0.kernels.padded_shape
+    assert M.accepts_padded((hp, wp)) and not M.accepts_padded(dom.grid_shape)
+    r = jax.random.normal(jax.random.PRNGKey(3), dom.grid_shape).astype(jnp.float32)
+    r = jnp.where(jnp.asarray(dom.interior), r, 0.0)
+    z = M(r)
+    rp = jnp.pad(r, ((0, hp - r.shape[0]), (0, wp - r.shape[1])))
+    zp = M(rp)
+    assert zp.shape == (hp, wp)
+    np.testing.assert_allclose(np.asarray(zp[: r.shape[0], : r.shape[1]]),
+                               np.asarray(z), rtol=1e-6, atol=1e-6)
+    assert float(jnp.max(jnp.abs(zp[r.shape[0]:, :]))) == 0.0

@@ -154,3 +154,38 @@ def test_facade_mixed_precision():
 def test_facade_mixed_requires_stencil():
     with pytest.raises(ValueError, match="stencil"):
         DirichletSolver(nx=16, ny=16, precision="mixed", operator="sparse")
+
+
+def test_refined_with_fused_inner_engine():
+    # inner_solve_fn hook: f32 inners run the fused Pallas PCG; the escalated
+    # f64 polish falls back to the standard path. Result must meet the same
+    # true-residual criterion as the plain configuration.
+    from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+    )
+
+    dom = Domain2D(nx=32, ny=32)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    b64 = prob.rhs_field(jnp.float64)
+    M = MultigridPreconditioner.from_domain(dom)
+    pop = PallasStencilOperator.from_domain(dom)
+    Mp = PaddedPreconditioner(inner=M, padded_op=pop)
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-10, max_iterations=10000
+    )
+
+    def fused_inner(r32, opts):
+        return fused_cg_solve(
+            pop, r32, options=CGOptions(stop=opts.stop, preconditioner=Mp)
+        )
+
+    res = refined_solve(
+        op, op, b64, stop=stop, preconditioner=M, inner_solve_fn=fused_inner
+    )
+    assert res.converged
+    rel = res.residual_norm / res.initial_residual_norm
+    assert rel < 1e-10

@@ -1,0 +1,123 @@
+"""Compile + execute every Pallas kernel on the real chip, x64 off AND on.
+
+Round-1 lesson: the test suite runs Pallas only in interpret mode on CPU, so
+the whole Mosaic-lowering bug class (i64 BlockSpec index maps / roll shifts
+under jax_enable_x64 — NOTES_PERF.md) was invisible until a bench run died.
+This tool is the pre-bench gate: one tiny iteration of each kernel family,
+non-interpret, under both x64 settings, finite-result checked; prints ONE
+JSON line. Run it once per round on the TPU and commit the output
+(SMOKE_r{N}.json).
+
+Kernels covered:
+  stencil2d   — kernels/stencil_pallas.py masked 5-point apply
+  stencil3d   — kernels/stencil3d_pallas.py 7-point apply
+  cg_fused    — kernels/cg_fused.py K1+K2 (one fused MSG iteration)
+  pcg_fused   — kernels/cg_fused.py K1+K2-PCG around the fused V-cycle
+  mg_fused    — kernels/mg_fused.py K_down/K_up fused V-cycle legs
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import traceback
+
+
+def _check(label: str, fn, results: dict) -> None:
+    t0 = time.perf_counter()
+    try:
+        v = float(fn())
+        ok = v == v and abs(v) != float("inf")  # finite
+        results[label] = {"ok": bool(ok), "value": v, "s": round(time.perf_counter() - t0, 2)}
+        if not ok:
+            results[label]["error"] = f"non-finite result {v}"
+    except Exception as e:  # noqa: BLE001 — record and continue
+        results[label] = {
+            "ok": False,
+            "error": f"{type(e).__name__}: {e}"[:300],
+            "s": round(time.perf_counter() - t0, 2),
+        }
+        traceback.print_exc()
+    state = "ok" if results[label]["ok"] else "FAIL"
+    print(f"smoke {label}: {state} ({results[label]['s']}s)", file=sys.stderr, flush=True)
+
+
+def run_suite(x64: bool, results: dict) -> None:
+    import jax
+
+    jax.config.update("jax_enable_x64", x64)
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.kernels.stencil3d_pallas import Pallas3DStencilOperator
+    from iterative_solvers_tpu.solvers.cg import CGOptions
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+    )
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    tag = f"x64={int(x64)}"
+    # 1024² so the fused V-cycle has real fused levels (ny+1 >= 512)
+    dom = Domain2D(nx=1024, ny=1024)
+    prob = PoissonProblem.manufactured(dom)
+    op = PallasStencilOperator.from_domain(dom, interpret=False)
+    b = prob.rhs_field(jnp.float32)
+    stop1 = StopConfig(max_iterations=1).disable_all_but_iterations()
+
+    _check(f"stencil2d[{tag}]", lambda: jnp.sum(op(op.pad(b))), results)
+
+    dom3 = Domain3D(nx=128, ny=128, nz=128)
+    op3 = Pallas3DStencilOperator.from_domain(dom3, interpret=False)
+    b3 = PoissonProblem.manufactured(dom3).rhs_field(jnp.float32)
+    _check(f"stencil3d[{tag}]", lambda: jnp.sum(op3(op3.pad(b3))), results)
+
+    _check(
+        f"cg_fused[{tag}]",
+        lambda: fused_cg_solve(op, b, options=CGOptions(stop=stop1)).residual_norm,
+        results,
+    )
+
+    M = MultigridPreconditioner.from_domain(dom)  # fused legs on TPU
+    Mp = PaddedPreconditioner(inner=M, padded_op=op)
+    _check(
+        f"pcg_fused[{tag}]",
+        lambda: fused_cg_solve(
+            op, b, options=CGOptions(stop=stop1, preconditioner=Mp)
+        ).residual_norm,
+        results,
+    )
+
+    _check(f"mg_fused[{tag}]", lambda: jnp.sum(M(b)), results)
+
+
+def main() -> int:
+    import jax
+
+    dev = jax.devices()[0]
+    results: dict = {}
+    for x64 in (False, True):
+        run_suite(x64, results)
+    n_ok = sum(1 for r in results.values() if r["ok"])
+    n = len(results)
+    print(
+        json.dumps(
+            {
+                "metric": "tpu_smoke_kernels_ok",
+                "value": n_ok,
+                "unit": f"kernels (of {n})",
+                "vs_baseline": 1.0 if n_ok == n else 0.0,
+                "device": getattr(dev, "device_kind", dev.platform),
+                "detail": results,
+            }
+        )
+    )
+    return 0 if n_ok == n else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
