@@ -225,38 +225,33 @@ def _bench_solve(n: int, on_tpu: bool) -> None:
         eps_precision=-1, eps_residual=-1, eps_relative=1e-6, max_iterations=100000
     )
 
-    inner_kw = {}
-    if on_tpu:
-        # f32 inner solves run the fused Pallas PCG engine (K1/K2 around the
-        # fused V-cycle, padded-layout passthrough — measured 11.5 ms/iter vs
-        # 18.2 for the jnp PCG at 8192²); the escalated f64 polish keeps the
-        # standard path.
-        from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+    if on_tpu and not os.environ.get("BENCH_HOST_IR"):
+        # The whole mixed-precision IR loop runs ON DEVICE (one dispatch, one
+        # packed-stats fetch): over the tunneled TPU each host sync costs
+        # ~0.1 s — more than eight fused PCG iterations — so the host-driven
+        # loop is latency-bound, not compute-bound.
         from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
-        from iterative_solvers_tpu.solvers.cg import CGOptions
         from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
+        from iterative_solvers_tpu.solvers.refine import fused_refined_solve
 
         pop = PallasStencilOperator.from_domain(dom)
         Mp = PaddedPreconditioner(inner=M, padded_op=pop)
 
-        def fused_inner(r32, opts):
-            return fused_cg_solve(
-                pop,
-                r32,
-                options=CGOptions(
-                    stop=opts.stop, preconditioner=Mp, profiler=opts.profiler
-                ),
-            )
+        def run_solve():
+            return fused_refined_solve(pop, Mp, b64, stop=stop)
 
-        inner_kw["inner_solve_fn"] = fused_inner
+    else:
+
+        def run_solve():
+            return refined_solve(op, op, b64, stop=stop, preconditioner=M)
 
     # warm with the IDENTICAL stop config: the adaptive inner tolerance picks
     # per-decade jit buckets from the measured residual trajectory, so a
     # looser warm target would compile different buckets than the timed run
-    refined_solve(op, op, b64, stop=stop, preconditioner=M, **inner_kw)
+    run_solve()
 
     t0 = time.perf_counter()
-    res = refined_solve(op, op, b64, stop=stop, preconditioner=M, **inner_kw)
+    res = run_solve()
     t_solve = time.perf_counter() - t0
     rel = res.residual_norm / res.initial_residual_norm
     assert res.converged and rel < 1e-6, (res.converged, rel)

@@ -214,6 +214,14 @@ class FusedCGEngine:
     M: Optional[object] = None  # hashable callable on padded fields
 
     def _call_k1(self, r, z, beta):
+        # Self-scoped x64-off trace: the engine may be embedded in an f64
+        # outer program (solvers/refine.py device-side IR loop), where the
+        # global x64 flag would make BlockSpec index maps i64 (Mosaic rejects
+        # them). All values here are f32/i32 with explicit dtypes.
+        with jax.enable_x64(False):
+            return self._call_k1_x32(r, z, beta)
+
+    def _call_k1_x32(self, r, z, beta):
         op = self.op
         hp, wp = op.padded_shape
         by = op.block_rows
@@ -240,6 +248,10 @@ class FusedCGEngine:
         )(r, r, r, z, z, z, scal_in)
 
     def _call_k2(self, x, r, z, side, u, alpha, beta):
+        with jax.enable_x64(False):
+            return self._call_k2_x32(x, r, z, side, u, alpha, beta)
+
+    def _call_k2_x32(self, x, r, z, side, u, alpha, beta):
         op = self.op
         hp, wp = op.padded_shape
         by = op.block_rows
@@ -280,6 +292,10 @@ class FusedCGEngine:
         )(*args)
 
     def _call_k2_pcg(self, x, r, z, w, side, u, alpha, beta):
+        with jax.enable_x64(False):
+            return self._call_k2_pcg_x32(x, r, z, w, side, u, alpha, beta)
+
+    def _call_k2_pcg_x32(self, x, r, z, w, side, u, alpha, beta):
         op = self.op
         hp, wp = op.padded_shape
         by = op.block_rows

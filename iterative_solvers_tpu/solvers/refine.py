@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import jax
+from jax import lax
 
 from iterative_solvers_tpu.solvers.cg import CGOptions, CGResult, cg_solve
 from iterative_solvers_tpu.solvers.stopping import StopConfig, StopReason
@@ -102,6 +103,7 @@ def refined_solve(
     stop_requested: Optional[Callable[[], bool]] = None,
     profiler=None,
     inner_solve_fn: Optional[Callable] = None,
+    x0: Optional[jnp.ndarray] = None,
 ) -> RefinedResult:
     """Solve ``A x = b`` to high-precision stopping criteria via mixed-precision
     iterative refinement.
@@ -163,13 +165,24 @@ def refined_solve(
         tol = min(max(inner_rel_tol, 0.3 * need), 0.1)
         return 10.0 ** math.floor(math.log10(tol))
 
-    x = jnp.zeros_like(b)
-    r = b
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        # warm start (e.g. continuing the device-side f32 ladder of
+        # fused_refined_solve into the escalated polish)
+        x = jnp.asarray(x0, b.dtype)
+        r = b - A_hi(x)
     s0 = np.asarray(_outer_stats(r, r, x, u_true))
     r_max = float(s0[0])
     err_max = float(s0[2]) if u_true is not None else math.inf
-    r0_norm = math.sqrt(max(float(s0[3]), 0.0))
-    r_norm = r0_norm
+    r_norm = math.sqrt(max(float(s0[3]), 0.0))
+    if x0 is None:
+        r0_norm = r_norm
+    else:
+        # the relative criterion references the ORIGINAL problem's ‖b‖, not
+        # the warm start's already-reduced residual
+        r0_norm = math.sqrt(max(float(jnp.sum(b * b)), 0.0))
     prec_max = math.inf
     reason = StopReason.ITERATIONS
     total_inner = 0
@@ -271,4 +284,262 @@ def refined_solve(
         outer_iterations=len(inner_counts),
         inner_iterations=inner_counts,
         escalated=escalated,
+    )
+
+
+# --- device-side refinement loop (one dispatch, one fetch) -------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _device_ir(
+    engine,  # kernels.cg_fused.FusedCGEngine with its V-cycle M (f32, padded)
+    A_hi,  # high-precision operator on the SAME padded layout
+    stop: StopConfig,
+    inner_rel_tol: float,
+    inner_max_iter: int,
+    max_outer: int,
+    b,  # padded f64 RHS
+    u_true,  # padded f64 exact solution or None
+):
+    """The whole mixed-precision IR loop as ONE compiled program.
+
+    Over a tunneled TPU every host synchronization costs ~0.1 s — more than
+    eight fused PCG iterations — so the host-driven loop in
+    :func:`refined_solve` (one fetch per inner solve + one per outer update)
+    is latency-bound, not compute-bound. Here outer refinement, the fused
+    PCG inner solve (with the adaptive inner tolerance as a *traced* value —
+    no decade quantization needed when there is only one program), and all
+    stop criteria run inside nested ``lax.while_loop``s; the caller fetches
+    one packed stats vector at the end.
+
+    The f32 ladder only: the rare escalated f64 polish stays host-driven
+    (:func:`refined_solve` with ``x0=`` continues from this program's x).
+    """
+    from iterative_solvers_tpu.solvers.cg import CGState
+
+    f32 = jnp.float32
+    false = jnp.asarray(False)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    r0_norm2 = jnp.sum(r0 * r0)
+    r0_norm = jnp.sqrt(r0_norm2)
+    M = engine.M
+
+    def inner_solve(r_hi):
+        """Fused PCG on A d = r (f32, from zero) to a traced relative tol."""
+        r32 = r_hi.astype(f32)
+        eta = inner_rel_tol
+        # loosest tolerance that still meets the outer target this step
+        # (cf. refined_solve.adaptive_inner_tol, traced instead of quantized)
+        r_norm_hi = jnp.sqrt(jnp.sum(r_hi * r_hi))
+        r_max_hi = jnp.max(jnp.abs(r_hi))
+        need = jnp.asarray(jnp.inf, b.dtype)
+        if stop.eps_relative > 0:
+            need = jnp.minimum(need, stop.eps_relative * r0_norm / jnp.maximum(r_norm_hi, 1e-300))
+        if stop.eps_residual > 0:
+            need = jnp.minimum(need, stop.eps_residual / jnp.maximum(r_max_hi, 1e-300))
+        eta = jnp.clip(jnp.maximum(eta, 0.3 * need), inner_rel_tol, 0.1).astype(f32)
+
+        w0 = M(r32)
+        rz0 = jnp.sum(r32 * w0)
+        r2_0 = jnp.sum(r32 * r32)
+        s0 = CGState(
+            x=jnp.zeros_like(r32), r=r32, z=jnp.zeros_like(r32),
+            k=jnp.asarray(0, jnp.int32), done=false,
+            reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
+            rz=rz0, r_norm2=r2_0,
+            prec_max=jnp.asarray(jnp.inf, f32), r_max=jnp.max(jnp.abs(r32)),
+            err_max=jnp.asarray(jnp.inf, f32), r0_norm=jnp.sqrt(r2_0),
+            w=w0, rz_prev=jnp.asarray(1.0, f32),
+        )
+
+        def icond(s):
+            return (~s.done) & (s.k < inner_max_iter) & (s.r_norm2 > 0)
+
+        def ibody(s):
+            s = engine.iteration(s, None)
+            done = (jnp.sqrt(s.r_norm2) < eta * s.r0_norm) | ~jnp.isfinite(s.r_norm2)
+            return s._replace(done=done)
+
+        s = lax.while_loop(icond, ibody, s0)
+        return s.x, s.k
+
+    def ocond(c):
+        x, r, k_out, total_inner, done, reason, prec, err = c
+        return (~done) & (k_out < max_outer) & (total_inner < stop.max_iterations)
+
+    def obody(c):
+        x, r, k_out, total_inner, done, reason, prec, err = c
+        d32, k_in = inner_solve(r)
+        d = d32.astype(b.dtype)
+        x = x + d
+        r = b - A_hi(x)
+        r2 = jnp.sum(r * r)
+        r_max = jnp.max(jnp.abs(r))
+        prec = jnp.max(jnp.abs(d))
+        if u_true is not None:
+            err = jnp.max(jnp.abs(x - u_true))
+        # stop criteria on TRUE high-precision quantities (reference
+        # semantics; eps <= 0 disables — cf. refined_solve)
+        done_div = ~jnp.isfinite(r2)
+        done_res = (r_max < stop.eps_residual) if stop.eps_residual > 0 else false
+        done_rel = (
+            (jnp.sqrt(r2) < stop.eps_relative * r0_norm)
+            if stop.eps_relative > 0
+            else false
+        )
+        done_prec = (prec < stop.eps_precision) if stop.eps_precision > 0 else false
+        done_err = (
+            (err < stop.eps_exact_error)
+            if (stop.eps_exact_error > 0 and u_true is not None)
+            else false
+        )
+        reason = jnp.where(
+            done_div,
+            int(StopReason.DIVERGED),
+            jnp.where(
+                done_res,
+                int(StopReason.RESIDUAL),
+                jnp.where(
+                    done_err,
+                    int(StopReason.EXACT_ERROR),
+                    jnp.where(
+                        done_prec,
+                        int(StopReason.PRECISION),
+                        jnp.where(
+                            done_rel,
+                            int(StopReason.RELATIVE_RESIDUAL),
+                            int(StopReason.ITERATIONS),
+                        ),
+                    ),
+                ),
+            ),
+        ).astype(jnp.int32)
+        done = done_div | done_res | done_rel | done_prec | done_err
+        return (x, r, k_out + 1, total_inner + k_in, done, reason, prec, err)
+
+    big = jnp.asarray(jnp.inf, b.dtype)
+    c0 = (
+        x0, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        false, jnp.asarray(int(StopReason.ITERATIONS), jnp.int32), big,
+        jnp.max(jnp.abs(x0 - u_true)) if u_true is not None else big,
+    )
+    x, r, k_out, total_inner, done, reason, prec, err = lax.while_loop(ocond, obody, c0)
+    stats = jnp.stack(
+        [
+            k_out.astype(b.dtype),
+            total_inner.astype(b.dtype),
+            done.astype(b.dtype),
+            reason.astype(b.dtype),
+            jnp.max(jnp.abs(r)),
+            prec,
+            err,
+            jnp.sum(r * r),
+            r0_norm,
+        ]
+    )
+    return x, r, stats
+
+
+def fused_refined_solve(
+    pop,  # kernels.stencil_pallas.PallasStencilOperator (layout + kernels)
+    M_padded,  # preconditioner on the padded layout (fused V-cycle adapter)
+    b: jnp.ndarray,  # UNPADDED f64 RHS
+    *,
+    u_true: Optional[jnp.ndarray] = None,
+    stop: Optional[StopConfig] = None,
+    inner_rel_tol: float = 1e-4,
+    inner_max_iter: int = 200,
+    max_outer: int = 8,
+    profiler=None,
+) -> RefinedResult:
+    """Mixed-precision refinement with the WHOLE loop on device.
+
+    One dispatch + one packed-stats fetch for the entire f32 ladder; if the
+    f32 floor leaves the criteria unmet, the escalated f64 polish continues
+    host-side via :func:`refined_solve` from the returned iterate. The fused
+    PCG engine, V-cycle, and f64 outer all run on the operator's padded
+    layout — zero pad/crop copies inside the loop.
+    """
+    import contextlib
+
+    from iterative_solvers_tpu.kernels.cg_fused import _engine_for
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+
+    stop = stop or StopConfig()
+    t0 = time.perf_counter()
+    phase = (
+        profiler.phase if profiler is not None else (lambda name: contextlib.nullcontext())
+    )
+    engine = _engine_for(pop, M_padded)
+    A_hi = _padded_hi_operator(pop)
+    bp = pop.pad(jnp.asarray(b))
+    up = pop.pad(jnp.asarray(u_true)) if u_true is not None else None
+
+    with phase("device_ir"):
+        x, r, stats_dev = _device_ir(
+            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer, bp, up
+        )
+        stats = np.asarray(stats_dev)  # the ONE host fetch
+    k_out, total_inner = int(stats[0]), int(stats[1])
+    done, reason = bool(stats[2]), StopReason(int(stats[3]))
+    r_max, prec, err = float(stats[4]), float(stats[5]), float(stats[6])
+    r_norm = math.sqrt(max(float(stats[7]), 0.0))
+    r0_norm = float(stats[8])
+    if profiler is not None:
+        profiler.count("iterations", total_inner)
+
+    if not done and reason == StopReason.ITERATIONS and k_out >= max_outer:
+        # f32 floor: continue host-side with the precision ladder from x
+        with phase("escalated_polish"):
+            res = refined_solve(
+                A_hi,
+                A_hi,
+                bp,
+                u_true=up,
+                stop=stop,
+                preconditioner=M_padded,
+                inner_rel_tol=inner_rel_tol,
+                inner_max_iter=inner_max_iter,
+                x0=x,
+                profiler=profiler,
+            )
+        res.x = pop.crop(res.x)
+        res.iterations += total_inner
+        res.outer_iterations += k_out
+        res.escalated = True
+        res.elapsed_s = time.perf_counter() - t0
+        return res
+
+    return RefinedResult(
+        x=pop.crop(x),
+        iterations=total_inner,
+        converged=bool(done and reason.converged),
+        reason=reason,
+        precision_max=prec,
+        residual_max=r_max,
+        error_max=err,
+        residual_norm=r_norm,
+        initial_residual_norm=r0_norm,
+        elapsed_s=time.perf_counter() - t0,
+        history=None,
+        outer_iterations=k_out,
+        inner_iterations=None,
+        escalated=False,
+    )
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _padded_hi_operator(pop):
+    """High-precision jnp stencil on the Pallas operator's padded layout.
+
+    Memoized per operator: a fresh object each call would be a new id-hashed
+    jit static for _device_ir and recompile the entire program per solve."""
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+
+    return StencilOperator(
+        jnp.asarray(pop.interior_padded()), pop.coeffs, ndim=2
     )

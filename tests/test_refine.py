@@ -189,3 +189,56 @@ def test_refined_with_fused_inner_engine():
     assert res.converged
     rel = res.residual_norm / res.initial_residual_norm
     assert rel < 1e-10
+
+
+def test_fused_refined_solve_device_loop():
+    # The whole-IR-on-device path must meet the same true-residual criteria
+    # as the host-driven loop (interpret-mode kernels on CPU).
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+    )
+    from iterative_solvers_tpu.solvers.refine import fused_refined_solve
+
+    dom = Domain2D(nx=32, ny=32)
+    prob = PoissonProblem.manufactured(dom)
+    b64 = prob.rhs_field(jnp.float64)
+    u64 = prob.true_solution_field(jnp.float64)
+    pop = PallasStencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom)
+    Mp = PaddedPreconditioner(inner=M, padded_op=pop)
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-9, max_iterations=10000
+    )
+    res = fused_refined_solve(pop, Mp, b64, u_true=u64, stop=stop)
+    assert res.converged and res.reason == StopReason.RELATIVE_RESIDUAL
+    assert res.x.shape == dom.grid_shape
+    rel = res.residual_norm / res.initial_residual_norm
+    assert rel < 1e-9
+    # true residual cross-check against a fresh f64 apply
+    op = StencilOperator.from_domain(dom)
+    r = b64 - op(jnp.asarray(res.x))
+    assert float(jnp.linalg.norm(r)) / res.initial_residual_norm < 1e-9
+    assert res.outer_iterations >= 2 and res.iterations > 0
+
+
+def test_fused_refined_solve_max_norm_criterion():
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+    )
+    from iterative_solvers_tpu.solvers.refine import fused_refined_solve
+
+    dom = Domain2D(nx=16, ny=16)
+    prob = PoissonProblem.manufactured(dom)
+    b64 = prob.rhs_field(jnp.float64)
+    pop = PallasStencilOperator.from_domain(dom)
+    Mp = PaddedPreconditioner(
+        inner=MultigridPreconditioner.from_domain(dom), padded_op=pop
+    )
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-5, max_iterations=10000)
+    res = fused_refined_solve(pop, Mp, b64, stop=stop)
+    assert res.converged and res.reason == StopReason.RESIDUAL
+    assert res.residual_max < 1e-5
