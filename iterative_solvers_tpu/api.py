@@ -323,17 +323,50 @@ class DirichletSolver:
 
                 b64 = shard_field(b64, self.mesh)
                 u64 = shard_field(u64, self.mesh) if u64 is not None else None
-            res = refined_solve(
-                A,
-                A,
-                b64,
-                u_true=u64,
-                stop=self.stop,
-                preconditioner=M,
-                callback=callback,
-                stop_requested=self._stop_event.is_set,
-                profiler=profiler,
+            # Single-chip TPU with an MG preconditioner and no live callback:
+            # run the whole IR loop on device (one dispatch + one fetch —
+            # each host sync over a tunneled TPU costs more than several
+            # fused PCG iterations). Callbacks/meshes keep the host loop.
+            use_device_ir = (
+                self.mesh is None
+                and callback is None
+                and not isinstance(dom, Domain3D)
+                and getattr(dom, "shape", None) in ("gamma", "rect")
+                and self.preconditioner is not None
+                and self.preconditioner.split(":")[0] in ("mg", "multigrid")
+                and jax.default_backend() != "cpu"
+                and not self._stop_event.is_set()
             )
+            if use_device_ir:
+                from iterative_solvers_tpu.kernels.stencil_pallas import (
+                    PallasStencilOperator,
+                )
+                from iterative_solvers_tpu.solvers.multigrid import (
+                    PaddedPreconditioner,
+                )
+                from iterative_solvers_tpu.solvers.refine import fused_refined_solve
+
+                pop = PallasStencilOperator.from_domain(dom)
+                res = fused_refined_solve(
+                    pop,
+                    PaddedPreconditioner(inner=M, padded_op=pop),
+                    b64,
+                    u_true=u64,
+                    stop=self.stop,
+                    profiler=profiler,
+                )
+            else:
+                res = refined_solve(
+                    A,
+                    A,
+                    b64,
+                    u_true=u64,
+                    stop=self.stop,
+                    preconditioner=M,
+                    callback=callback,
+                    stop_requested=self._stop_event.is_set,
+                    profiler=profiler,
+                )
             b, u = b64, u64
         elif self.operator_kind == "fused":
             from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
