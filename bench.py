@@ -342,9 +342,16 @@ def _bench_solve_3d(n: int) -> None:
         eps_precision=-1, eps_residual=-1, eps_relative=1e-6, max_iterations=100000
     )
     b64 = prob.rhs_field(jnp.float64)
-    refined_solve(op, op, b64, stop=stop, preconditioner=M)  # compile
+    # one-dispatch device-side refinement (the host loop pays ~0.1 s of
+    # tunnel latency per sync; see BENCH_MODE=solve)
+    from iterative_solvers_tpu.solvers.refine import device_refined_solve
+
+    def run_3d():
+        return device_refined_solve(op, op, b64, stop=stop, preconditioner=M)
+
+    run_3d()  # compile
     t0 = time.perf_counter()
-    res = refined_solve(op, op, b64, stop=stop, preconditioner=M)
+    res = run_3d()
     t_mg = time.perf_counter() - t0
     rel = res.residual_norm / res.initial_residual_norm
     assert res.converged and rel < 1e-6

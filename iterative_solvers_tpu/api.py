@@ -330,14 +330,17 @@ class DirichletSolver:
             use_device_ir = (
                 self.mesh is None
                 and callback is None
+                and jax.default_backend() != "cpu"
+                and not self._stop_event.is_set()
+            )
+            use_fused_ir = (
+                use_device_ir
                 and not isinstance(dom, Domain3D)
                 and getattr(dom, "shape", None) in ("gamma", "rect")
                 and self.preconditioner is not None
                 and self.preconditioner.split(":")[0] in ("mg", "multigrid")
-                and jax.default_backend() != "cpu"
-                and not self._stop_event.is_set()
             )
-            if use_device_ir:
+            if use_fused_ir:
                 from iterative_solvers_tpu.kernels.stencil_pallas import (
                     PallasStencilOperator,
                 )
@@ -353,6 +356,18 @@ class DirichletSolver:
                     b64,
                     u_true=u64,
                     stop=self.stop,
+                    profiler=profiler,
+                )
+            elif use_device_ir:
+                from iterative_solvers_tpu.solvers.refine import device_refined_solve
+
+                res = device_refined_solve(
+                    A,
+                    A,
+                    b64,
+                    u_true=u64,
+                    stop=self.stop,
+                    preconditioner=M,
                     profiler=profiler,
                 )
             else:

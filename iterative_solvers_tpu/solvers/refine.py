@@ -543,3 +543,219 @@ def _padded_hi_operator(pop):
     return StencilOperator(
         jnp.asarray(pop.interior_padded()), pop.coeffs, ndim=2
     )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _device_ir_generic(
+    A_hi,  # high-precision operator
+    A_lo,  # f32 operator, same field shape
+    M,  # preconditioner on f32 fields (or None)
+    stop: StopConfig,
+    inner_rel_tol: float,
+    inner_max_iter: int,
+    max_outer: int,
+    b,
+    u_true,
+):
+    """Operator-agnostic variant of :func:`_device_ir`: the inner solve is
+    the standard jnp PCG recurrence instead of the 2D fused engine, so any
+    operator/preconditioner pair (3D stencils, sharded operators) gets the
+    one-dispatch/one-fetch refinement loop."""
+    f32 = jnp.float32
+    false = jnp.asarray(False)
+    r0_norm = jnp.sqrt(jnp.sum(b * b))
+
+    def inner_solve(r_hi):
+        r32 = r_hi.astype(f32)
+        r_norm_hi = jnp.sqrt(jnp.sum(r_hi * r_hi))
+        r_max_hi = jnp.max(jnp.abs(r_hi))
+        need = jnp.asarray(jnp.inf, b.dtype)
+        if stop.eps_relative > 0:
+            need = jnp.minimum(
+                need, stop.eps_relative * r0_norm / jnp.maximum(r_norm_hi, 1e-300)
+            )
+        if stop.eps_residual > 0:
+            need = jnp.minimum(need, stop.eps_residual / jnp.maximum(r_max_hi, 1e-300))
+        eta = jnp.clip(jnp.maximum(inner_rel_tol, 0.3 * need), inner_rel_tol, 0.1).astype(f32)
+
+        z0 = M(r32) if M is not None else r32
+        rz0 = jnp.sum(r32 * z0)
+        r2_0 = jnp.sum(r32 * r32)
+        ir0 = jnp.sqrt(r2_0)
+
+        def icond(c):
+            x, r, z, rz, r2, k, done = c
+            return (~done) & (k < inner_max_iter) & (r2 > 0)
+
+        def ibody(c):
+            x, r, z, rz, r2, k, done = c
+            Az = A_lo(z)
+            alpha = rz / jnp.sum(Az * z)
+            x = x + alpha * z
+            r = r - alpha * Az
+            r2 = jnp.sum(r * r)
+            w = M(r) if M is not None else r
+            rz_new = jnp.sum(r * w)
+            beta = rz_new / rz
+            z = w + beta * z
+            done = (jnp.sqrt(r2) < eta * ir0) | ~jnp.isfinite(r2)
+            return (x, r, z, rz_new, r2, k + 1, done)
+
+        x, r, z, rz, r2, k, done = lax.while_loop(
+            icond, ibody,
+            (jnp.zeros_like(r32), r32, z0, rz0, r2_0, jnp.asarray(0, jnp.int32), false),
+        )
+        return x, k
+
+    def ocond(c):
+        x, r, k_out, total_inner, done, reason, prec, err = c
+        return (~done) & (k_out < max_outer) & (total_inner < stop.max_iterations)
+
+    def obody(c):
+        x, r, k_out, total_inner, done, reason, prec, err = c
+        d32, k_in = inner_solve(r)
+        d = d32.astype(b.dtype)
+        x = x + d
+        r = b - A_hi(x)
+        r2 = jnp.sum(r * r)
+        r_max = jnp.max(jnp.abs(r))
+        prec = jnp.max(jnp.abs(d))
+        if u_true is not None:
+            err = jnp.max(jnp.abs(x - u_true))
+        done_div = ~jnp.isfinite(r2)
+        done_res = (r_max < stop.eps_residual) if stop.eps_residual > 0 else false
+        done_rel = (
+            (jnp.sqrt(r2) < stop.eps_relative * r0_norm)
+            if stop.eps_relative > 0
+            else false
+        )
+        done_prec = (prec < stop.eps_precision) if stop.eps_precision > 0 else false
+        done_err = (
+            (err < stop.eps_exact_error)
+            if (stop.eps_exact_error > 0 and u_true is not None)
+            else false
+        )
+        reason = jnp.where(
+            done_div,
+            int(StopReason.DIVERGED),
+            jnp.where(
+                done_res,
+                int(StopReason.RESIDUAL),
+                jnp.where(
+                    done_err,
+                    int(StopReason.EXACT_ERROR),
+                    jnp.where(
+                        done_prec,
+                        int(StopReason.PRECISION),
+                        jnp.where(
+                            done_rel,
+                            int(StopReason.RELATIVE_RESIDUAL),
+                            int(StopReason.ITERATIONS),
+                        ),
+                    ),
+                ),
+            ),
+        ).astype(jnp.int32)
+        done = done_div | done_res | done_rel | done_prec | done_err
+        return (x, r, k_out + 1, total_inner + k_in, done, reason, prec, err)
+
+    big = jnp.asarray(jnp.inf, b.dtype)
+    c0 = (
+        jnp.zeros_like(b), b, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        false, jnp.asarray(int(StopReason.ITERATIONS), jnp.int32), big,
+        jnp.max(jnp.abs(-u_true)) if u_true is not None else big,
+    )
+    x, r, k_out, total_inner, done, reason, prec, err = lax.while_loop(ocond, obody, c0)
+    stats = jnp.stack(
+        [
+            k_out.astype(b.dtype),
+            total_inner.astype(b.dtype),
+            done.astype(b.dtype),
+            reason.astype(b.dtype),
+            jnp.max(jnp.abs(r)),
+            prec,
+            err,
+            jnp.sum(r * r),
+            r0_norm,
+        ]
+    )
+    return x, r, stats
+
+
+def device_refined_solve(
+    A_hi: Callable,
+    A_lo: Callable,
+    b: jnp.ndarray,
+    *,
+    preconditioner: Optional[Callable] = None,
+    u_true: Optional[jnp.ndarray] = None,
+    stop: Optional[StopConfig] = None,
+    inner_rel_tol: float = 1e-4,
+    inner_max_iter: int = 200,
+    max_outer: int = 8,
+    profiler=None,
+) -> RefinedResult:
+    """Generic one-dispatch mixed-precision refinement (cf.
+    :func:`fused_refined_solve`, which binds the 2D fused Pallas engine).
+    Works for any operator family — 3D stencils, sharded halo operators —
+    because the inner solve is the plain jnp PCG recurrence; XLA still fuses
+    it into a handful of kernels, and every host synchronization but the
+    final stats fetch disappears. Falls back host-side for the escalated f64
+    polish exactly like the fused variant."""
+    import contextlib
+
+    stop = stop or StopConfig()
+    t0 = time.perf_counter()
+    phase = (
+        profiler.phase if profiler is not None else (lambda name: contextlib.nullcontext())
+    )
+    with phase("device_ir"):
+        x, r, stats_dev = _device_ir_generic(
+            A_hi, A_lo, preconditioner, stop, inner_rel_tol, inner_max_iter,
+            max_outer, b, u_true,
+        )
+        stats = np.asarray(stats_dev)  # the ONE host fetch
+    k_out, total_inner = int(stats[0]), int(stats[1])
+    done, reason = bool(stats[2]), StopReason(int(stats[3]))
+    r_max, prec, err = float(stats[4]), float(stats[5]), float(stats[6])
+    r_norm = math.sqrt(max(float(stats[7]), 0.0))
+    r0_norm = float(stats[8])
+    if profiler is not None:
+        profiler.count("iterations", total_inner)
+
+    if not done and reason == StopReason.ITERATIONS and k_out >= max_outer:
+        with phase("escalated_polish"):
+            res = refined_solve(
+                A_hi,
+                A_lo,
+                b,
+                u_true=u_true,
+                stop=stop,
+                preconditioner=preconditioner,
+                inner_rel_tol=inner_rel_tol,
+                inner_max_iter=inner_max_iter,
+                x0=x,
+                profiler=profiler,
+            )
+        res.iterations += total_inner
+        res.outer_iterations += k_out
+        res.escalated = True
+        res.elapsed_s = time.perf_counter() - t0
+        return res
+
+    return RefinedResult(
+        x=x,
+        iterations=total_inner,
+        converged=bool(done and reason.converged),
+        reason=reason,
+        precision_max=prec,
+        residual_max=r_max,
+        error_max=err,
+        residual_norm=r_norm,
+        initial_residual_norm=r0_norm,
+        elapsed_s=time.perf_counter() - t0,
+        history=None,
+        outer_iterations=k_out,
+        inner_iterations=None,
+        escalated=False,
+    )

@@ -242,3 +242,40 @@ def test_fused_refined_solve_max_norm_criterion():
     res = fused_refined_solve(pop, Mp, b64, stop=stop)
     assert res.converged and res.reason == StopReason.RESIDUAL
     assert res.residual_max < 1e-5
+
+
+def test_device_refined_solve_generic_3d():
+    # Operator-agnostic one-dispatch refinement on a 3D box with the jnp
+    # V-cycle preconditioner.
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.solvers.refine import device_refined_solve
+
+    dom = Domain3D(nx=16, ny=16, nz=16)
+    prob = PoissonProblem.manufactured(dom)
+    b64 = prob.rhs_field(jnp.float64)
+    u64 = prob.true_solution_field(jnp.float64)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom)
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-9, max_iterations=10000
+    )
+    res = device_refined_solve(op, op, b64, u_true=u64, stop=stop, preconditioner=M)
+    assert res.converged and res.reason == StopReason.RELATIVE_RESIDUAL
+    rel = res.residual_norm / res.initial_residual_norm
+    assert rel < 1e-9
+    r = b64 - op(jnp.asarray(res.x))
+    assert float(jnp.linalg.norm(r)) / res.initial_residual_norm < 1e-9
+
+
+def test_device_refined_solve_no_preconditioner():
+    from iterative_solvers_tpu.solvers.refine import device_refined_solve
+
+    dom = Domain2D(nx=16, ny=16)
+    prob = PoissonProblem.manufactured(dom)
+    b64 = prob.rhs_field(jnp.float64)
+    op = StencilOperator.from_domain(dom)
+    stop = StopConfig(eps_precision=-1, eps_residual=-1, eps_relative=1e-8,
+                      max_iterations=10000)
+    res = device_refined_solve(op, op, b64, stop=stop)
+    assert res.converged
+    assert res.residual_norm / res.initial_residual_norm < 1e-8
