@@ -120,6 +120,9 @@ class DirichletSolver:
         self._validate_config()
         self._stop_event = threading.Event()
         self._op = None
+        self._M = None
+        self._M_key = None
+        self._ir_cache = None  # (pallas op, padded M) for the device-IR path
 
     def _validate_config(self) -> None:
         """Reject unsupported option combinations at construction time with
@@ -195,6 +198,9 @@ class DirichletSolver:
         )
         self.problem = replace(self.problem, domain=dom)
         self._op = None
+        self._M = None
+        self._M_key = None
+        self._ir_cache = None
 
     def set_stop(self, **kwargs) -> None:
         """Update stop criteria; eps <= 0 disables a criterion
@@ -203,7 +209,13 @@ class DirichletSolver:
 
     def request_stop(self) -> None:
         """Cooperative interrupt (reference dirichlet_solver.hpp:151-156 →
-        the atomic flag in msg_solver.hpp:35)."""
+        the atomic flag in msg_solver.hpp:35).
+
+        Granularity: chunked solves honor it at the next chunk boundary.
+        ``precision='mixed'`` on TPU runs the whole refinement as ONE device
+        dispatch (bounded: ≤ max_outer × inner_max_iter iterations) — a stop
+        arriving mid-dispatch takes effect only when that dispatch returns.
+        Interactive callers (any ``callback``) always get the chunked path."""
         self._stop_event.set()
 
     # --- solve --------------------------------------------------------------
@@ -269,28 +281,38 @@ class DirichletSolver:
             b = A.pad(b)
             u = A.pad(u) if u is not None else None
 
+        # Preconditioners (and the adapters around them) are CACHED per
+        # facade: they are id-hashed jit statics downstream, so a fresh
+        # object per solve() would recompile every compiled program on every
+        # repeated solve (~minutes over a TPU tunnel). set_grid invalidates.
         M = None
         if self.preconditioner:
-            from iterative_solvers_tpu.solvers.precond import make_preconditioner
+            if self._M is None or self._M_key != (self.preconditioner, id(A)):
+                from iterative_solvers_tpu.solvers.precond import make_preconditioner
 
-            M = make_preconditioner(self.preconditioner, A, dom)
-            if self.mesh is not None and hasattr(M, "levels"):
-                from iterative_solvers_tpu.solvers.multigrid import (
-                    ShardedMultigridPreconditioner,
-                )
+                M = make_preconditioner(self.preconditioner, A, dom)
+                if self.mesh is not None and hasattr(M, "levels"):
+                    from iterative_solvers_tpu.solvers.multigrid import (
+                        ShardedMultigridPreconditioner,
+                    )
 
-                # rebuild through from_domain: it disables the single-device
-                # fused Pallas levels, which don't shard under GSPMD
-                M = ShardedMultigridPreconditioner.from_domain(
-                    dom, self.mesh, nu_pre=M.nu_pre, nu_post=M.nu_post
-                )
-            elif self.operator_kind in ("pallas", "fused") and hasattr(M, "levels"):
-                # multigrid works on unpadded grids; adapt to the padded layout
-                from iterative_solvers_tpu.solvers.multigrid import (
-                    PaddedPreconditioner,
-                )
+                    # rebuild through from_domain: it disables the single-
+                    # device fused Pallas levels, which don't shard under
+                    # GSPMD
+                    M = ShardedMultigridPreconditioner.from_domain(
+                        dom, self.mesh, nu_pre=M.nu_pre, nu_post=M.nu_post
+                    )
+                elif self.operator_kind in ("pallas", "fused") and hasattr(M, "levels"):
+                    # multigrid works on unpadded grids; adapt to the padded
+                    # layout
+                    from iterative_solvers_tpu.solvers.multigrid import (
+                        PaddedPreconditioner,
+                    )
 
-                M = PaddedPreconditioner(inner=M, padded_op=A)
+                    M = PaddedPreconditioner(inner=M, padded_op=A)
+                self._M = M
+                self._M_key = (self.preconditioner, id(A))
+            M = self._M
 
         opts = CGOptions(
             stop=self.stop,
@@ -341,18 +363,25 @@ class DirichletSolver:
                 and self.preconditioner.split(":")[0] in ("mg", "multigrid")
             )
             if use_fused_ir:
-                from iterative_solvers_tpu.kernels.stencil_pallas import (
-                    PallasStencilOperator,
-                )
-                from iterative_solvers_tpu.solvers.multigrid import (
-                    PaddedPreconditioner,
-                )
                 from iterative_solvers_tpu.solvers.refine import fused_refined_solve
 
-                pop = PallasStencilOperator.from_domain(dom)
+                if self._ir_cache is None:
+                    from iterative_solvers_tpu.kernels.stencil_pallas import (
+                        PallasStencilOperator,
+                    )
+                    from iterative_solvers_tpu.solvers.multigrid import (
+                        PaddedPreconditioner,
+                    )
+
+                    pop = PallasStencilOperator.from_domain(dom)
+                    self._ir_cache = (
+                        pop,
+                        PaddedPreconditioner(inner=M, padded_op=pop),
+                    )
+                pop, Mp = self._ir_cache
                 res = fused_refined_solve(
                     pop,
-                    PaddedPreconditioner(inner=M, padded_op=pop),
+                    Mp,
                     b64,
                     u_true=u64,
                     stop=self.stop,

@@ -189,17 +189,32 @@ class ShardedStencilOperator:
         return pred(ri, ci)
 
     def _interior_global(self) -> np.ndarray:
-        """Padded interior mask as a host array (IO/debug/nnz; never device)."""
+        """Padded interior mask as a host array (IO/debug/nnz; never device).
+        Built from open (broadcast) index grids — materialising full int
+        index arrays would cost ~1 GB at 8192²."""
         if self.mask_kind == "custom":
             return self.interior_host
-        grids = np.indices(self.padded_shape)
-        if len(self.padded_shape) == 3:
-            return np.asarray(self._mask_pred()(grids[0], grids[1], grids[2]))
-        return np.asarray(self._mask_pred()(grids[0], grids[1]))
+        grids = np.ogrid[tuple(slice(0, s) for s in self.padded_shape)]
+        return np.broadcast_to(
+            self._mask_pred()(*grids), self.padded_shape
+        ).copy()
 
     @property
     def interior(self) -> np.ndarray:
         return self._interior_global()
+
+    def _interior_device(self) -> jnp.ndarray:
+        """Interior mask as a trace-level iota expression (GSPMD shards it;
+        nothing is captured or replicated from the host)."""
+        if self.mask_kind == "custom":
+            return jnp.asarray(self.interior_host)
+        pred = self._mask_pred()
+        i32 = jnp.int32
+        shape = self.padded_shape
+        grids = [
+            lax.broadcasted_iota(i32, shape, d) for d in range(len(shape))
+        ]
+        return pred(*grids)
 
     # --- apply --------------------------------------------------------------
 
@@ -236,10 +251,12 @@ class ShardedStencilOperator:
         return self.padded_shape
 
     def mask(self, x: jnp.ndarray) -> jnp.ndarray:
-        return jnp.where(jnp.asarray(self._interior_global()), x, 0)
+        # iota-built mask: works inside multi-controller jit and shards with
+        # x under GSPMD instead of replicating an O(n²) host constant
+        return jnp.where(self._interior_device(), x, 0)
 
     def diagonal(self) -> jnp.ndarray:
-        return jnp.where(jnp.asarray(self._interior_global()), self.coeffs[0], 0.0)
+        return jnp.where(self._interior_device(), self.coeffs[0], 0.0)
 
     def nnz(self) -> int:
         from iterative_solvers_tpu.ops.stencil import StencilOperator

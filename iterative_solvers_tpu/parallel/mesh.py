@@ -57,6 +57,11 @@ def padded_grid_shape(grid_shape: Tuple[int, ...], mesh: Mesh) -> Tuple[int, ...
     The row dim shards over every mesh axis but the last (on a hybrid
     DCN×ICI mesh that is ('slice', 'y') combined), the column dim over the
     last axis."""
+    if len(mesh.axis_names) < 2:
+        raise ValueError(
+            "solver meshes need >= 2 axes (rows, cols) — "
+            "use make_solver_mesh/make_hybrid_mesh"
+        )
     my = math.prod(mesh.devices.shape[:-1])
     mx = mesh.devices.shape[-1]
     out = list(grid_shape)

@@ -170,8 +170,10 @@ def refined_solve(
         r = b
     else:
         # warm start (e.g. continuing the device-side f32 ladder of
-        # fused_refined_solve into the escalated polish)
-        x = jnp.asarray(x0, b.dtype)
+        # fused_refined_solve into the escalated polish). Copy: the outer
+        # update donates the x buffer, which must never invalidate the
+        # caller's array.
+        x = jnp.copy(jnp.asarray(x0, b.dtype))
         r = b - A_hi(x)
     s0 = np.asarray(_outer_stats(r, r, x, u_true))
     r_max = float(s0[0])
@@ -338,7 +340,14 @@ def _device_ir(
             need = jnp.minimum(need, stop.eps_relative * r0_norm / jnp.maximum(r_norm_hi, 1e-300))
         if stop.eps_residual > 0:
             need = jnp.minimum(need, stop.eps_residual / jnp.maximum(r_max_hi, 1e-300))
-        eta = jnp.clip(jnp.maximum(eta, 0.3 * need), inner_rel_tol, 0.1).astype(f32)
+        # non-finite need (no relative/residual criterion) falls back to
+        # inner_rel_tol, matching the host loop's adaptive_inner_tol — NOT to
+        # the 0.1 clip ceiling, which would make inner solves 1000x looser
+        eta = jnp.where(
+            jnp.isfinite(need),
+            jnp.clip(jnp.maximum(eta, 0.3 * need), inner_rel_tol, 0.1),
+            inner_rel_tol,
+        ).astype(f32)
 
         w0 = M(r32)
         rz0 = jnp.sum(r32 * w0)
@@ -365,11 +374,16 @@ def _device_ir(
         return s.x, s.k
 
     def ocond(c):
-        x, r, k_out, total_inner, done, reason, prec, err = c
-        return (~done) & (k_out < max_outer) & (total_inner < stop.max_iterations)
+        x, r, k_out, total_inner, done, reason, prec, err, rm_prev, stalled = c
+        return (
+            (~done)
+            & (~stalled)
+            & (k_out < max_outer)
+            & (total_inner < stop.max_iterations)
+        )
 
     def obody(c):
-        x, r, k_out, total_inner, done, reason, prec, err = c
+        x, r, k_out, total_inner, done, reason, prec, err, rm_prev, stalled = c
         d32, k_in = inner_solve(r)
         d = d32.astype(b.dtype)
         x = x + d
@@ -379,6 +393,11 @@ def _device_ir(
         prec = jnp.max(jnp.abs(d))
         if u_true is not None:
             err = jnp.max(jnp.abs(x - u_true))
+        # f32-floor stall: an outer that shrinks the residual by less than
+        # 20x cannot profit from more f32 outers — exit so the host-side
+        # escalated polish takes over (mirrors refined_solve's escalate_ratio
+        # trigger instead of burning max_outer x inner_max_iter iterations)
+        stalled = r_max > 0.05 * rm_prev
         # stop criteria on TRUE high-precision quantities (reference
         # semantics; eps <= 0 disables — cf. refined_solve)
         done_div = ~jnp.isfinite(r2)
@@ -416,15 +435,21 @@ def _device_ir(
             ),
         ).astype(jnp.int32)
         done = done_div | done_res | done_rel | done_prec | done_err
-        return (x, r, k_out + 1, total_inner + k_in, done, reason, prec, err)
+        return (
+            x, r, k_out + 1, total_inner + k_in, done, reason, prec, err,
+            r_max, stalled,
+        )
 
     big = jnp.asarray(jnp.inf, b.dtype)
     c0 = (
         x0, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         false, jnp.asarray(int(StopReason.ITERATIONS), jnp.int32), big,
         jnp.max(jnp.abs(x0 - u_true)) if u_true is not None else big,
+        big, false,
     )
-    x, r, k_out, total_inner, done, reason, prec, err = lax.while_loop(ocond, obody, c0)
+    x, r, k_out, total_inner, done, reason, prec, err, _, _ = lax.while_loop(
+        ocond, obody, c0
+    )
     stats = jnp.stack(
         [
             k_out.astype(b.dtype),
@@ -489,7 +514,12 @@ def fused_refined_solve(
     if profiler is not None:
         profiler.count("iterations", total_inner)
 
-    if not done and reason == StopReason.ITERATIONS and k_out >= max_outer:
+    if (
+        not done
+        and reason == StopReason.ITERATIONS
+        and total_inner < stop.max_iterations
+    ):
+        # f32 ladder exhausted (outer budget or stall): escalated polish
         # f32 floor: continue host-side with the precision ladder from x
         with phase("escalated_polish"):
             res = refined_solve(
@@ -576,7 +606,11 @@ def _device_ir_generic(
             )
         if stop.eps_residual > 0:
             need = jnp.minimum(need, stop.eps_residual / jnp.maximum(r_max_hi, 1e-300))
-        eta = jnp.clip(jnp.maximum(inner_rel_tol, 0.3 * need), inner_rel_tol, 0.1).astype(f32)
+        eta = jnp.where(
+            jnp.isfinite(need),
+            jnp.clip(jnp.maximum(inner_rel_tol, 0.3 * need), inner_rel_tol, 0.1),
+            inner_rel_tol,
+        ).astype(f32)  # non-finite need -> inner_rel_tol (cf. adaptive_inner_tol)
 
         z0 = M(r32) if M is not None else r32
         rz0 = jnp.sum(r32 * z0)
@@ -608,11 +642,16 @@ def _device_ir_generic(
         return x, k
 
     def ocond(c):
-        x, r, k_out, total_inner, done, reason, prec, err = c
-        return (~done) & (k_out < max_outer) & (total_inner < stop.max_iterations)
+        x, r, k_out, total_inner, done, reason, prec, err, rm_prev, stalled = c
+        return (
+            (~done)
+            & (~stalled)
+            & (k_out < max_outer)
+            & (total_inner < stop.max_iterations)
+        )
 
     def obody(c):
-        x, r, k_out, total_inner, done, reason, prec, err = c
+        x, r, k_out, total_inner, done, reason, prec, err, rm_prev, stalled = c
         d32, k_in = inner_solve(r)
         d = d32.astype(b.dtype)
         x = x + d
@@ -622,6 +661,8 @@ def _device_ir_generic(
         prec = jnp.max(jnp.abs(d))
         if u_true is not None:
             err = jnp.max(jnp.abs(x - u_true))
+        # f32-floor stall -> exit to the host-side escalated polish
+        stalled = r_max > 0.05 * rm_prev
         done_div = ~jnp.isfinite(r2)
         done_res = (r_max < stop.eps_residual) if stop.eps_residual > 0 else false
         done_rel = (
@@ -657,15 +698,21 @@ def _device_ir_generic(
             ),
         ).astype(jnp.int32)
         done = done_div | done_res | done_rel | done_prec | done_err
-        return (x, r, k_out + 1, total_inner + k_in, done, reason, prec, err)
+        return (
+            x, r, k_out + 1, total_inner + k_in, done, reason, prec, err,
+            r_max, stalled,
+        )
 
     big = jnp.asarray(jnp.inf, b.dtype)
     c0 = (
         jnp.zeros_like(b), b, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         false, jnp.asarray(int(StopReason.ITERATIONS), jnp.int32), big,
         jnp.max(jnp.abs(-u_true)) if u_true is not None else big,
+        big, false,
     )
-    x, r, k_out, total_inner, done, reason, prec, err = lax.while_loop(ocond, obody, c0)
+    x, r, k_out, total_inner, done, reason, prec, err, _, _ = lax.while_loop(
+        ocond, obody, c0
+    )
     stats = jnp.stack(
         [
             k_out.astype(b.dtype),
@@ -723,7 +770,12 @@ def device_refined_solve(
     if profiler is not None:
         profiler.count("iterations", total_inner)
 
-    if not done and reason == StopReason.ITERATIONS and k_out >= max_outer:
+    if (
+        not done
+        and reason == StopReason.ITERATIONS
+        and total_inner < stop.max_iterations
+    ):
+        # f32 ladder exhausted (outer budget or stall): escalated polish
         with phase("escalated_polish"):
             res = refined_solve(
                 A_hi,

@@ -279,3 +279,30 @@ def test_device_refined_solve_no_preconditioner():
     res = device_refined_solve(op, op, b64, stop=stop)
     assert res.converged
     assert res.residual_norm / res.initial_residual_norm < 1e-8
+
+
+def test_device_ir_precision_only_stop_keeps_tight_inner_tol():
+    # Review regression: with neither relative nor residual criteria enabled,
+    # the traced adaptive tolerance must fall back to inner_rel_tol (host
+    # semantics), not saturate at the 0.1 clip ceiling — which made inner
+    # solves 1000x looser and wasted outers.
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+    )
+    from iterative_solvers_tpu.solvers.refine import fused_refined_solve
+
+    dom = Domain2D(nx=16, ny=16)
+    prob = PoissonProblem.manufactured(dom)
+    b64 = prob.rhs_field(jnp.float64)
+    pop = PallasStencilOperator.from_domain(dom)
+    Mp = PaddedPreconditioner(
+        inner=MultigridPreconditioner.from_domain(dom), padded_op=pop
+    )
+    stop = StopConfig(eps_precision=1e-10, eps_residual=-1, max_iterations=10000)
+    res = fused_refined_solve(pop, Mp, b64, stop=stop)
+    assert res.converged and res.reason == StopReason.PRECISION
+    # each outer contracts ~inner_rel_tol (1e-4): reaching |dx|_inf 1e-10
+    # from O(1) takes only a few outers when the tolerance is tight
+    assert res.outer_iterations <= 5
