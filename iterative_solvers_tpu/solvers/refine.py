@@ -292,86 +292,37 @@ def refined_solve(
 # --- device-side refinement loop (one dispatch, one fetch) -------------------
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _device_ir(
-    engine,  # kernels.cg_fused.FusedCGEngine with its V-cycle M (f32, padded)
-    A_hi,  # high-precision operator on the SAME padded layout
-    stop: StopConfig,
-    inner_rel_tol: float,
-    inner_max_iter: int,
-    max_outer: int,
-    b,  # padded f64 RHS
-    u_true,  # padded f64 exact solution or None
-):
-    """The whole mixed-precision IR loop as ONE compiled program.
-
-    Over a tunneled TPU every host synchronization costs ~0.1 s — more than
-    eight fused PCG iterations — so the host-driven loop in
-    :func:`refined_solve` (one fetch per inner solve + one per outer update)
-    is latency-bound, not compute-bound. Here outer refinement, the fused
-    PCG inner solve (with the adaptive inner tolerance as a *traced* value —
-    no decade quantization needed when there is only one program), and all
-    stop criteria run inside nested ``lax.while_loop``s; the caller fetches
-    one packed stats vector at the end.
-
-    The f32 ladder only: the rare escalated f64 polish stays host-driven
-    (:func:`refined_solve` with ``x0=`` continues from this program's x).
-    """
-    from iterative_solvers_tpu.solvers.cg import CGState
-
-    f32 = jnp.float32
-    false = jnp.asarray(False)
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    r0_norm2 = jnp.sum(r0 * r0)
-    r0_norm = jnp.sqrt(r0_norm2)
-    M = engine.M
-
-    def inner_solve(r_hi):
-        """Fused PCG on A d = r (f32, from zero) to a traced relative tol."""
-        r32 = r_hi.astype(f32)
-        eta = inner_rel_tol
-        # loosest tolerance that still meets the outer target this step
-        # (cf. refined_solve.adaptive_inner_tol, traced instead of quantized)
-        r_norm_hi = jnp.sqrt(jnp.sum(r_hi * r_hi))
-        r_max_hi = jnp.max(jnp.abs(r_hi))
-        need = jnp.asarray(jnp.inf, b.dtype)
-        if stop.eps_relative > 0:
-            need = jnp.minimum(need, stop.eps_relative * r0_norm / jnp.maximum(r_norm_hi, 1e-300))
-        if stop.eps_residual > 0:
-            need = jnp.minimum(need, stop.eps_residual / jnp.maximum(r_max_hi, 1e-300))
-        # non-finite need (no relative/residual criterion) falls back to
-        # inner_rel_tol, matching the host loop's adaptive_inner_tol — NOT to
-        # the 0.1 clip ceiling, which would make inner solves 1000x looser
-        eta = jnp.where(
-            jnp.isfinite(need),
-            jnp.clip(jnp.maximum(eta, 0.3 * need), inner_rel_tol, 0.1),
-            inner_rel_tol,
-        ).astype(f32)
-
-        w0 = M(r32)
-        rz0 = jnp.sum(r32 * w0)
-        r2_0 = jnp.sum(r32 * r32)
-        s0 = CGState(
-            x=jnp.zeros_like(r32), r=r32, z=jnp.zeros_like(r32),
-            k=jnp.asarray(0, jnp.int32), done=false,
-            reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
-            rz=rz0, r_norm2=r2_0,
-            prec_max=jnp.asarray(jnp.inf, f32), r_max=jnp.max(jnp.abs(r32)),
-            err_max=jnp.asarray(jnp.inf, f32), r0_norm=jnp.sqrt(r2_0),
-            w=w0, rz_prev=jnp.asarray(1.0, f32),
+def _traced_inner_eta(stop: StopConfig, inner_rel_tol: float, r_hi, r0_norm):
+    """Loosest inner tolerance meeting the outer target this step, as a
+    TRACED value (cf. refined_solve.adaptive_inner_tol — no decade
+    quantization needed when there is only one compiled program). Non-finite
+    need (no relative/residual criterion) falls back to inner_rel_tol, not
+    the 0.1 clip ceiling."""
+    r_norm_hi = jnp.sqrt(jnp.sum(r_hi * r_hi))
+    r_max_hi = jnp.max(jnp.abs(r_hi))
+    need = jnp.asarray(jnp.inf, r_hi.dtype)
+    if stop.eps_relative > 0:
+        need = jnp.minimum(
+            need, stop.eps_relative * r0_norm / jnp.maximum(r_norm_hi, 1e-300)
         )
+    if stop.eps_residual > 0:
+        need = jnp.minimum(need, stop.eps_residual / jnp.maximum(r_max_hi, 1e-300))
+    return jnp.where(
+        jnp.isfinite(need),
+        jnp.clip(jnp.maximum(inner_rel_tol, 0.3 * need), inner_rel_tol, 0.1),
+        inner_rel_tol,
+    ).astype(jnp.float32)
 
-        def icond(s):
-            return (~s.done) & (s.k < inner_max_iter) & (s.r_norm2 > 0)
 
-        def ibody(s):
-            s = engine.iteration(s, None)
-            done = (jnp.sqrt(s.r_norm2) < eta * s.r0_norm) | ~jnp.isfinite(s.r_norm2)
-            return s._replace(done=done)
+def _outer_refine_loop(A_hi, stop: StopConfig, max_outer: int, b, u_true, inner_solve):
+    """Shared outer refinement while_loop of the device-side IR programs.
 
-        s = lax.while_loop(icond, ibody, s0)
-        return s.x, s.k
+    ``inner_solve: r_hi -> (d_f32, k_inner)``. Evaluates all five reference
+    stop criteria on true high-precision quantities, detects the f32-floor
+    stall (an outer shrinking the residual by < 20x exits so the host-side
+    escalated polish takes over), and returns (x, r, packed stats)."""
+    false = jnp.asarray(False)
+    r0_norm = jnp.sqrt(jnp.sum(b * b))
 
     def ocond(c):
         x, r, k_out, total_inner, done, reason, prec, err, rm_prev, stalled = c
@@ -393,13 +344,7 @@ def _device_ir(
         prec = jnp.max(jnp.abs(d))
         if u_true is not None:
             err = jnp.max(jnp.abs(x - u_true))
-        # f32-floor stall: an outer that shrinks the residual by less than
-        # 20x cannot profit from more f32 outers — exit so the host-side
-        # escalated polish takes over (mirrors refined_solve's escalate_ratio
-        # trigger instead of burning max_outer x inner_max_iter iterations)
         stalled = r_max > 0.05 * rm_prev
-        # stop criteria on TRUE high-precision quantities (reference
-        # semantics; eps <= 0 disables — cf. refined_solve)
         done_div = ~jnp.isfinite(r2)
         done_res = (r_max < stop.eps_residual) if stop.eps_residual > 0 else false
         done_rel = (
@@ -442,9 +387,9 @@ def _device_ir(
 
     big = jnp.asarray(jnp.inf, b.dtype)
     c0 = (
-        x0, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        jnp.zeros_like(b), b, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         false, jnp.asarray(int(StopReason.ITERATIONS), jnp.int32), big,
-        jnp.max(jnp.abs(x0 - u_true)) if u_true is not None else big,
+        jnp.max(jnp.abs(-u_true)) if u_true is not None else big,
         big, false,
     )
     x, r, k_out, total_inner, done, reason, prec, err, _, _ = lax.while_loop(
@@ -464,6 +409,69 @@ def _device_ir(
         ]
     )
     return x, r, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _device_ir(
+    engine,  # kernels.cg_fused.FusedCGEngine with its V-cycle M (f32, padded)
+    A_hi,  # high-precision operator on the SAME padded layout
+    stop: StopConfig,
+    inner_rel_tol: float,
+    inner_max_iter: int,
+    max_outer: int,
+    b,  # padded f64 RHS
+    u_true,  # padded f64 exact solution or None
+):
+    """The whole mixed-precision IR loop as ONE compiled program.
+
+    Over a tunneled TPU every host synchronization costs ~0.1 s — more than
+    eight fused PCG iterations — so the host-driven loop in
+    :func:`refined_solve` (one fetch per inner solve + one per outer update)
+    is latency-bound, not compute-bound. Here outer refinement, the fused
+    PCG inner solve (with the adaptive inner tolerance as a *traced* value —
+    no decade quantization needed when there is only one program), and all
+    stop criteria run inside nested ``lax.while_loop``s; the caller fetches
+    one packed stats vector at the end.
+
+    The f32 ladder only: the rare escalated f64 polish stays host-driven
+    (:func:`refined_solve` with ``x0=`` continues from this program's x).
+    """
+    from iterative_solvers_tpu.solvers.cg import CGState
+
+    f32 = jnp.float32
+    false = jnp.asarray(False)
+    r0_norm = jnp.sqrt(jnp.sum(b * b))
+    M = engine.M
+
+    def inner_solve(r_hi):
+        """Fused PCG on A d = r (f32, from zero) to a traced relative tol."""
+        r32 = r_hi.astype(f32)
+        eta = _traced_inner_eta(stop, inner_rel_tol, r_hi, r0_norm)
+        w0 = M(r32)
+        rz0 = jnp.sum(r32 * w0)
+        r2_0 = jnp.sum(r32 * r32)
+        s0 = CGState(
+            x=jnp.zeros_like(r32), r=r32, z=jnp.zeros_like(r32),
+            k=jnp.asarray(0, jnp.int32), done=false,
+            reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
+            rz=rz0, r_norm2=r2_0,
+            prec_max=jnp.asarray(jnp.inf, f32), r_max=jnp.max(jnp.abs(r32)),
+            err_max=jnp.asarray(jnp.inf, f32), r0_norm=jnp.sqrt(r2_0),
+            w=w0, rz_prev=jnp.asarray(1.0, f32),
+        )
+
+        def icond(s):
+            return (~s.done) & (s.k < inner_max_iter) & (s.r_norm2 > 0)
+
+        def ibody(s):
+            s = engine.iteration(s, None)
+            done = (jnp.sqrt(s.r_norm2) < eta * s.r0_norm) | ~jnp.isfinite(s.r_norm2)
+            return s._replace(done=done)
+
+        s = lax.while_loop(icond, ibody, s0)
+        return s.x, s.k
+
+    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve)
 
 
 def fused_refined_solve(
@@ -597,21 +605,7 @@ def _device_ir_generic(
 
     def inner_solve(r_hi):
         r32 = r_hi.astype(f32)
-        r_norm_hi = jnp.sqrt(jnp.sum(r_hi * r_hi))
-        r_max_hi = jnp.max(jnp.abs(r_hi))
-        need = jnp.asarray(jnp.inf, b.dtype)
-        if stop.eps_relative > 0:
-            need = jnp.minimum(
-                need, stop.eps_relative * r0_norm / jnp.maximum(r_norm_hi, 1e-300)
-            )
-        if stop.eps_residual > 0:
-            need = jnp.minimum(need, stop.eps_residual / jnp.maximum(r_max_hi, 1e-300))
-        eta = jnp.where(
-            jnp.isfinite(need),
-            jnp.clip(jnp.maximum(inner_rel_tol, 0.3 * need), inner_rel_tol, 0.1),
-            inner_rel_tol,
-        ).astype(f32)  # non-finite need -> inner_rel_tol (cf. adaptive_inner_tol)
-
+        eta = _traced_inner_eta(stop, inner_rel_tol, r_hi, r0_norm)
         z0 = M(r32) if M is not None else r32
         rz0 = jnp.sum(r32 * z0)
         r2_0 = jnp.sum(r32 * r32)
@@ -641,92 +635,7 @@ def _device_ir_generic(
         )
         return x, k
 
-    def ocond(c):
-        x, r, k_out, total_inner, done, reason, prec, err, rm_prev, stalled = c
-        return (
-            (~done)
-            & (~stalled)
-            & (k_out < max_outer)
-            & (total_inner < stop.max_iterations)
-        )
-
-    def obody(c):
-        x, r, k_out, total_inner, done, reason, prec, err, rm_prev, stalled = c
-        d32, k_in = inner_solve(r)
-        d = d32.astype(b.dtype)
-        x = x + d
-        r = b - A_hi(x)
-        r2 = jnp.sum(r * r)
-        r_max = jnp.max(jnp.abs(r))
-        prec = jnp.max(jnp.abs(d))
-        if u_true is not None:
-            err = jnp.max(jnp.abs(x - u_true))
-        # f32-floor stall -> exit to the host-side escalated polish
-        stalled = r_max > 0.05 * rm_prev
-        done_div = ~jnp.isfinite(r2)
-        done_res = (r_max < stop.eps_residual) if stop.eps_residual > 0 else false
-        done_rel = (
-            (jnp.sqrt(r2) < stop.eps_relative * r0_norm)
-            if stop.eps_relative > 0
-            else false
-        )
-        done_prec = (prec < stop.eps_precision) if stop.eps_precision > 0 else false
-        done_err = (
-            (err < stop.eps_exact_error)
-            if (stop.eps_exact_error > 0 and u_true is not None)
-            else false
-        )
-        reason = jnp.where(
-            done_div,
-            int(StopReason.DIVERGED),
-            jnp.where(
-                done_res,
-                int(StopReason.RESIDUAL),
-                jnp.where(
-                    done_err,
-                    int(StopReason.EXACT_ERROR),
-                    jnp.where(
-                        done_prec,
-                        int(StopReason.PRECISION),
-                        jnp.where(
-                            done_rel,
-                            int(StopReason.RELATIVE_RESIDUAL),
-                            int(StopReason.ITERATIONS),
-                        ),
-                    ),
-                ),
-            ),
-        ).astype(jnp.int32)
-        done = done_div | done_res | done_rel | done_prec | done_err
-        return (
-            x, r, k_out + 1, total_inner + k_in, done, reason, prec, err,
-            r_max, stalled,
-        )
-
-    big = jnp.asarray(jnp.inf, b.dtype)
-    c0 = (
-        jnp.zeros_like(b), b, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-        false, jnp.asarray(int(StopReason.ITERATIONS), jnp.int32), big,
-        jnp.max(jnp.abs(-u_true)) if u_true is not None else big,
-        big, false,
-    )
-    x, r, k_out, total_inner, done, reason, prec, err, _, _ = lax.while_loop(
-        ocond, obody, c0
-    )
-    stats = jnp.stack(
-        [
-            k_out.astype(b.dtype),
-            total_inner.astype(b.dtype),
-            done.astype(b.dtype),
-            reason.astype(b.dtype),
-            jnp.max(jnp.abs(r)),
-            prec,
-            err,
-            jnp.sum(r * r),
-            r0_norm,
-        ]
-    )
-    return x, r, stats
+    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve)
 
 
 def device_refined_solve(
