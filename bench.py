@@ -465,16 +465,23 @@ def _bench_precond(n: int) -> None:
         inner=MultigridPreconditioner.from_domain(dom), padded_op=op
     )
 
-    def race(M):
+    def race(M, engine=cg_solve):
         opts = CGOptions(stop=stop, preconditioner=M)
-        cg_solve(op, b, options=opts)  # compile
+        engine(op, b, options=opts)  # compile
         t0 = time.perf_counter()
-        r = cg_solve(op, b, options=opts)
+        r = engine(op, b, options=opts)
         return time.perf_counter() - t0, r.iterations
+
+    from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+
+    def fused_race(op_, b_, options):
+        # the MG leg runs the framework's actual fast path: fused PCG
+        # (K1/K2 around the fused V-cycle); b is already padded here
+        return fused_cg_solve(op_, op_.crop(b_), options=options)
 
     t_plain, it_plain = race(None)
     t_cheb, it_cheb = race(M_cheb)
-    t_mg, it_mg = race(M_mg)
+    t_mg, it_mg = race(M_mg, engine=fused_race)
     print(
         f"bench precond: n={n} plain={t_plain:.2f}s ({it_plain} iters) "
         f"chebyshev8={t_cheb:.2f}s ({it_cheb}) mg={t_mg:.2f}s ({it_mg})",
