@@ -350,13 +350,13 @@ class DirichletSolver:
             # each host sync over a tunneled TPU costs more than several
             # fused PCG iterations). Callbacks/meshes keep the host loop.
             use_device_ir = (
-                self.mesh is None
-                and callback is None
+                callback is None
                 and jax.default_backend() != "cpu"
                 and not self._stop_event.is_set()
             )
             use_fused_ir = (
                 use_device_ir
+                and self.mesh is None  # the fused engine is single-device
                 and not isinstance(dom, Domain3D)
                 and getattr(dom, "shape", None) in ("gamma", "rect")
                 and self.preconditioner is not None
