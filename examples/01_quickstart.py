@@ -10,7 +10,10 @@ Run:  python examples/01_quickstart.py
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU by default: an ambient JAX_PLATFORMS (e.g. a TPU-tunnel
+# sitecustomize setting it to its own platform) must not silently move
+# a demo onto shared hardware. Override with ISTPU_PLATFORM=tpu.
+os.environ["JAX_PLATFORMS"] = os.environ.get("ISTPU_PLATFORM", "cpu")
 import jax
 
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

@@ -12,7 +12,10 @@ Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU by default: an ambient JAX_PLATFORMS (e.g. a TPU-tunnel
+# sitecustomize setting it to its own platform) must not silently move
+# a demo onto shared hardware. Override with ISTPU_PLATFORM=tpu.
+os.environ["JAX_PLATFORMS"] = os.environ.get("ISTPU_PLATFORM", "cpu")
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

@@ -22,7 +22,10 @@ a complete 2-process gRPC-coordinated version, exercised by the test suite).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU by default: an ambient JAX_PLATFORMS (e.g. a TPU-tunnel
+# sitecustomize setting it to its own platform) must not silently move
+# a demo onto shared hardware. Override with ISTPU_PLATFORM=tpu.
+os.environ["JAX_PLATFORMS"] = os.environ.get("ISTPU_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -44,7 +47,12 @@ from iterative_solvers_tpu.solvers.stopping import StopConfig
 
 
 def main() -> None:
-    mesh = make_hybrid_mesh(n_slices=2)  # synthetic slices on the virtual mesh
+    # synthetic slices on the virtual mesh; a site-customized interpreter may
+    # have initialized the backend before this script could set XLA_FLAGS, in
+    # which case fall back to however many devices exist
+    ndev = len(jax.devices())
+    n_slices = 2 if ndev >= 2 and ndev % 2 == 0 else 1
+    mesh = make_hybrid_mesh(n_slices=n_slices)
     print(f"mesh axes {mesh.axis_names}, shape {mesh.devices.shape}")
 
     dom = Domain2D(nx=128, ny=128)
