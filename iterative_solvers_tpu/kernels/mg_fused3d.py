@@ -1,0 +1,359 @@
+"""Fused Pallas kernels for the 3D V-cycle's fine levels (7-point box).
+
+The 3D analogue of kernels/mg_fused.py: at 512³ the jnp V(1,1) cycle costs
+~60 ms on v5e — ~10 full-volume sweeps, each at XLA's ~100-150 GB/s for
+513-extent volumes — while the arithmetic needs ~3 sweeps per leg. Each leg
+becomes one Pallas pass over the volume:
+
+- **K_down** (pre-smooth + residual + z-restriction): grid over COARSE
+  z-planes × y-panels. Each program reads the five fine b-planes
+  2zc−2 … 2zc+2 of its panel (plus 8-row y-halo groups of the middle
+  three), reconstructs the pre-smoothed iterate x = (ω/d)·b in registers,
+  evaluates the residual at fine planes 2zc−1, 2zc, 2zc+1, and emits the
+  z-restricted residual plane ¼R[2zc−1] + ½R[2zc] + ¼R[2zc+1]. The y/x
+  restriction runs in XLA on the half-depth intermediate (4× less data).
+- **K_up** (z-prolongation + correction + post-smooth): grid over FINE
+  z-planes × y-panels. Each program reads its three fine b-planes (+ y-halo
+  groups), the two-or-three coarse correction planes its z-neighborhood
+  interpolates from (already y/x-prolonged in XLA, + their y-halo groups),
+  rebuilds the corrected iterate x̃ = (ω/d)·b + Pz(ec) for planes t−1, t,
+  t+1 in registers, and writes the post-smoothed plane
+  x̃[t] + (ω/d)(b[t] − A x̃[t]).
+
+The pre-smoothed iterate is never materialized (reconstructed from b, as in
+the 2D kernels). Interior masks are algebraic box predicates — zero HBM
+traffic. Same arithmetic as solvers/multigrid.py's jnp path (separable
+transfers, R = Pᵀ/8), so the cycle stays symmetric and PCG-safe;
+equivalence is pinned by interpret-mode tests.
+
+z-prolongation parity note: fine plane t even takes ec[t/2]; t odd averages
+ec[(t−1)/2] and ec[(t+1)/2] — matching _prolong1d's stack+reshape on axis 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mask_at(nx, ny, nz, zi, row0, shape):
+    ri = lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    ci = lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (zi > 0) & (zi < nz) & (ri > 0) & (ri < ny) & (ci > 0) & (ci < nx)
+
+
+def _residual_plane(xm, xup_row, xdn_row, xzm, xzp, bm, m, cd, cx, cy, cz, wp):
+    """r = b − A x at one plane, given the plane's masked x, its two y-halo
+    rows, its two z-neighbor planes (masked), and the masked b."""
+    yup = jnp.concatenate([xup_row, xm[:-1, :]], axis=0)
+    ydn = jnp.concatenate([xm[1:, :], xdn_row], axis=0)
+    ax = (
+        cd * xm
+        + cx * (pltpu.roll(xm, np.int32(1), 1) + pltpu.roll(xm, np.int32(wp - 1), 1))
+        + cy * (yup + ydn)
+        + cz * (xzm + xzp)
+    )
+    return jnp.where(m, bm - ax, 0.0)
+
+
+def _make_k_down_3d(nx, ny, nz, cd, cx, cy, cz, cs, by, wp):
+    def kernel(*refs):
+        # inputs: b planes 2zc-2..2zc+2 (5), y-halo-up/dn groups for the
+        # middle three planes (6), then the output ref
+        b_refs = refs[0:5]
+        hup = refs[5:8]
+        hdn = refs[8:11]
+        rr_ref = refs[11]
+        zc = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = j * by
+        t0 = 2 * zc  # center fine plane
+
+        def xplane(i5, zi):
+            # pre-smoothed iterate x = cs*b at fine plane zi (masked)
+            m = _mask_at(nx, ny, nz, zi, row0, (by, wp))
+            return cs * jnp.where(m, b_refs[i5][0], 0.0), m
+
+        def xrow_up(i3, zi):
+            m = _mask_at(nx, ny, nz, zi, row0 - 1, (1, wp))
+            return cs * jnp.where(m, hup[i3][0, -1:, :], 0.0)
+
+        def xrow_dn(i3, zi):
+            m = _mask_at(nx, ny, nz, zi, row0 + by, (1, wp))
+            return cs * jnp.where(m, hdn[i3][0, :1, :], 0.0)
+
+        xs = []
+        ms = []
+        for k in range(5):
+            x, m = xplane(k, t0 - 2 + k)
+            xs.append(x)
+            ms.append(m)
+
+        R = []
+        for k in (1, 2, 3):  # fine planes t0-1, t0, t0+1
+            zi = t0 - 2 + k
+            bm = jnp.where(ms[k], b_refs[k][0], 0.0)
+            R.append(
+                _residual_plane(
+                    xs[k], xrow_up(k - 1, zi), xrow_dn(k - 1, zi),
+                    xs[k - 1], xs[k + 1], bm, ms[k], cd, cx, cy, cz, wp,
+                )
+            )
+        rr_ref[0] = 0.25 * R[0] + 0.5 * R[1] + 0.25 * R[2]
+
+    return kernel
+
+
+def _make_k_up_3d(nx, ny, nz, cd, cx, cy, cz, cs, by, wp, dc):
+    def kernel(*refs):
+        # inputs: b planes t-1,t,t+1 (3) + their y-halo groups (6),
+        # ec coarse planes floor((t-1)/2), ceil(t/2)? -> we fetch the three
+        # coarse planes (t-1)//2, t//2, (t+1+1)//2 clamped (3) + their y-halo
+        # groups (6); output ref last
+        b_refs = refs[0:3]
+        bup = refs[3:6]
+        bdn = refs[6:9]
+        ec_refs = refs[9:12]
+        ecup = refs[12:15]
+        ecdn = refs[15:18]
+        o_ref = refs[18]
+        t = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = j * by
+
+        def cvalid(zc, rows, r0):
+            ri = lax.broadcasted_iota(jnp.int32, (rows, wp), 0) + r0
+            return (zc >= 0) & (zc < dc) & (ri >= 0)
+
+        # masked coarse planes (and their halo rows) for indices
+        # c0=(t-1)//2? The three fetched coarse planes are (t//2)-1, t//2,
+        # (t//2)+1 clamped; z-prolongation of fine plane s needs:
+        #   s even: ec[s//2]; s odd: (ec[(s-1)//2] + ec[(s+1)//2]) / 2
+        def ec_plane(i3, zc):
+            ok = cvalid(zc, by, row0)
+            return jnp.where(ok, ec_refs[i3][0], 0.0)
+
+        def ec_row_up(i3, zc, r0):
+            ok = cvalid(zc, 1, r0)
+            return jnp.where(ok, ecup[i3][0, -1:, :], 0.0)
+
+        def ec_row_dn(i3, zc, r0):
+            ok = cvalid(zc, 1, r0)
+            return jnp.where(ok, ecdn[i3][0, :1, :], 0.0)
+
+        c_mid = t // 2  # the middle fetched coarse plane
+
+        def pz(s, part):
+            """z-prolonged correction at fine plane s for this panel.
+            part: 'main' (by rows), 'up' (1 row above), 'dn' (1 row below).
+            s ∈ {t-1, t, t+1}; the needed coarse planes are within
+            c_mid-1..c_mid+1 (fetched)."""
+            def get(zc, which):
+                i3 = zc - (c_mid - 1)
+                # i3 in {0,1,2} by construction (trace-time Python ints are
+                # not available: zc is traced) — select via lax.switch-free
+                # arithmetic: build all three and pick with where
+                sel0 = zc == c_mid - 1
+                sel1 = zc == c_mid
+                if which == "main":
+                    v0, v1, v2 = (ec_plane(0, c_mid - 1), ec_plane(1, c_mid),
+                                  ec_plane(2, c_mid + 1))
+                elif which == "up":
+                    v0, v1, v2 = (
+                        ec_row_up(0, c_mid - 1, row0 - 1),
+                        ec_row_up(1, c_mid, row0 - 1),
+                        ec_row_up(2, c_mid + 1, row0 - 1),
+                    )
+                else:
+                    v0, v1, v2 = (
+                        ec_row_dn(0, c_mid - 1, row0 + by),
+                        ec_row_dn(1, c_mid, row0 + by),
+                        ec_row_dn(2, c_mid + 1, row0 + by),
+                    )
+                return jnp.where(sel0, v0, jnp.where(sel1, v1, v2))
+
+            even = (s % 2) == 0
+            lo = get(jnp.where(even, s // 2, (s - 1) // 2), part)
+            hi = get(jnp.where(even, s // 2, (s + 1) // 2), part)
+            return jnp.where(even, lo, 0.5 * (lo + hi))
+
+        def xcorr(i3, s, part):
+            """corrected iterate x̃ = cs·b + Pz(ec) at fine plane s."""
+            if part == "main":
+                m = _mask_at(nx, ny, nz, s, row0, (by, wp))
+                return jnp.where(m, cs * jnp.where(m, b_refs[i3][0], 0.0) + pz(s, part), 0.0), m
+            if part == "up":
+                m = _mask_at(nx, ny, nz, s, row0 - 1, (1, wp))
+                return jnp.where(m, cs * bup[i3][0, -1:, :] + pz(s, part), 0.0), m
+            m = _mask_at(nx, ny, nz, s, row0 + by, (1, wp))
+            return jnp.where(m, cs * bdn[i3][0, :1, :] + pz(s, part), 0.0), m
+
+        xm, m = xcorr(1, t, "main")
+        xup_row, _ = xcorr(1, t, "up")
+        xdn_row, _ = xcorr(1, t, "dn")
+        xzm, _ = xcorr(0, t - 1, "main")
+        xzp, _ = xcorr(2, t + 1, "main")
+        bm = jnp.where(m, b_refs[1][0], 0.0)
+        R = _residual_plane(xm, xup_row, xdn_row, xzm, xzp, bm, m, cd, cx, cy, cz, wp)
+        o_ref[0] = jnp.where(m, xm + cs * R, 0.0)
+
+    return kernel
+
+
+@dataclass(frozen=True, eq=False)
+class FusedLevelKernels3D:
+    """Compiled down/up legs of one 3D V-cycle level on its padded layout."""
+
+    nx: int
+    ny: int
+    nz: int
+    coeffs: Tuple[float, float, float, float]
+    cs: float  # ω / diag
+    padded_shape: Tuple[int, int, int]  # (D, Hp, Wp); D = nz+1 exact
+    block_rows: int
+    interpret: bool
+
+    def down(self, b: jnp.ndarray) -> jnp.ndarray:
+        """z-restricted residual (Dc, Hp, Wp) of the pre-smoothed iterate."""
+        with jax.enable_x64(False):
+            return self._down(b)
+
+    def _down(self, b: jnp.ndarray) -> jnp.ndarray:
+        d, hp, wp = self.padded_shape
+        by = self.block_rows
+        cd, cx, cy, cz = self.coeffs
+        dc = self.nz // 2 + 1
+        kernel = _make_k_down_3d(self.nx, self.ny, self.nz, cd, cx, cy, cz,
+                                 self.cs, by, wp)
+        gy8 = hp // 8
+
+        def plane(off):
+            return pl.BlockSpec(
+                (1, by, wp),
+                lambda zc, j, off=off: (jnp.clip(2 * zc + off, 0, d - 1), j, 0),
+            )
+
+        def halo(off, up):
+            if up:
+                return pl.BlockSpec(
+                    (1, 8, wp),
+                    lambda zc, j, off=off: (
+                        jnp.clip(2 * zc + off, 0, d - 1),
+                        jnp.maximum(j * (by // 8) - 1, 0),
+                        0,
+                    ),
+                )
+            return pl.BlockSpec(
+                (1, 8, wp),
+                lambda zc, j, off=off: (
+                    jnp.clip(2 * zc + off, 0, d - 1),
+                    jnp.minimum(j * (by // 8) + by // 8, gy8 - 1),
+                    0,
+                ),
+            )
+
+        in_specs = (
+            [plane(o) for o in (-2, -1, 0, 1, 2)]
+            + [halo(o, True) for o in (-1, 0, 1)]
+            + [halo(o, False) for o in (-1, 0, 1)]
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(dc, hp // by),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, by, wp), lambda zc, j: (zc, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((dc, hp, wp), b.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(*([b] * 11))
+
+    def up(self, b: jnp.ndarray, ec_yx: jnp.ndarray) -> jnp.ndarray:
+        """Post-smoothed corrected iterate; ``ec_yx`` is the y/x-prolonged
+        coarse correction, shape (Dc, Hp, Wp) on this level's panel layout."""
+        with jax.enable_x64(False):
+            return self._up(b, ec_yx)
+
+    def _up(self, b: jnp.ndarray, ec_yx: jnp.ndarray) -> jnp.ndarray:
+        d, hp, wp = self.padded_shape
+        by = self.block_rows
+        cd, cx, cy, cz = self.coeffs
+        dc = self.nz // 2 + 1
+        kernel = _make_k_up_3d(self.nx, self.ny, self.nz, cd, cx, cy, cz,
+                               self.cs, by, wp, dc)
+        gy8 = hp // 8
+
+        def bplane(off):
+            return pl.BlockSpec(
+                (1, by, wp),
+                lambda t, j, off=off: (jnp.clip(t + off, 0, d - 1), j, 0),
+            )
+
+        def bhalo(off, up):
+            if up:
+                return pl.BlockSpec(
+                    (1, 8, wp),
+                    lambda t, j, off=off: (
+                        jnp.clip(t + off, 0, d - 1),
+                        jnp.maximum(j * (by // 8) - 1, 0),
+                        0,
+                    ),
+                )
+            return pl.BlockSpec(
+                (1, 8, wp),
+                lambda t, j, off=off: (
+                    jnp.clip(t + off, 0, d - 1),
+                    jnp.minimum(j * (by // 8) + by // 8, gy8 - 1),
+                    0,
+                ),
+            )
+
+        def cplane(off):
+            return pl.BlockSpec(
+                (1, by, wp),
+                lambda t, j, off=off: (jnp.clip(t // 2 + off, 0, dc - 1), j, 0),
+            )
+
+        def chalo(off, up):
+            if up:
+                return pl.BlockSpec(
+                    (1, 8, wp),
+                    lambda t, j, off=off: (
+                        jnp.clip(t // 2 + off, 0, dc - 1),
+                        jnp.maximum(j * (by // 8) - 1, 0),
+                        0,
+                    ),
+                )
+            return pl.BlockSpec(
+                (1, 8, wp),
+                lambda t, j, off=off: (
+                    jnp.clip(t // 2 + off, 0, dc - 1),
+                    jnp.minimum(j * (by // 8) + by // 8, gy8 - 1),
+                    0,
+                ),
+            )
+
+        in_specs = (
+            [bplane(o) for o in (-1, 0, 1)]
+            + [bhalo(o, True) for o in (-1, 0, 1)]
+            + [bhalo(o, False) for o in (-1, 0, 1)]
+            + [cplane(o) for o in (-1, 0, 1)]
+            + [chalo(o, True) for o in (-1, 0, 1)]
+            + [chalo(o, False) for o in (-1, 0, 1)]
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(d, hp // by),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, by, wp), lambda t, j: (t, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((d, hp, wp), b.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(*([b] * 9 + [ec_yx] * 9))

@@ -53,32 +53,44 @@ from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
 # --------------------------------------------------------------------------
 
 
+def _axslice(ndim: int, axis: int, s: slice):
+    out = [slice(None)] * ndim
+    out[axis] = s
+    return tuple(out)
+
+
 def _restrict1d(a: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Full-weighting restriction along one axis: coarse node i <- fine node 2i
-    with kernel [1, 2, 1]/4. Fine extent 2*nc+1 -> coarse extent nc+1."""
-    a = jnp.moveaxis(a, axis, -1)
-    n = a.shape[-1]  # = 2*nc + 1
+    with kernel [1, 2, 1]/4. Fine extent 2*nc+1 -> coarse extent nc+1.
+
+    Slices along the NATIVE axis — a ``moveaxis`` round trip would transpose
+    the whole field twice per axis (3x at 512³ = most of the V-cycle's cost
+    on TPU; measured 60 -> ~? ms by removing it)."""
+    n = a.shape[axis]  # = 2*nc + 1
     nc1 = (n - 1) // 2 + 1
-    pad = [(0, 0)] * (a.ndim - 1) + [(1, 1)]
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (1, 1)
     p = jnp.pad(a, pad)
-    lo = p[..., 0 : 2 * nc1 - 1 : 2]
-    mid = p[..., 1 : 2 * nc1 : 2]
-    hi = p[..., 2 : 2 * nc1 + 1 : 2]
-    out = 0.25 * (lo + hi) + 0.5 * mid
-    return jnp.moveaxis(out, -1, axis)
+    lo = p[_axslice(a.ndim, axis, slice(0, 2 * nc1 - 1, 2))]
+    mid = p[_axslice(a.ndim, axis, slice(1, 2 * nc1, 2))]
+    hi = p[_axslice(a.ndim, axis, slice(2, 2 * nc1 + 1, 2))]
+    return 0.25 * (lo + hi) + 0.5 * mid
 
 
 def _prolong1d(a: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Linear interpolation along one axis: even fine nodes copy the coarse
     value, odd fine nodes average their two coarse neighbors. The adjoint of
-    :func:`_restrict1d` up to the factor 2 (R = Pᵀ/2 per axis)."""
-    a = jnp.moveaxis(a, axis, -1)
-    nc1 = a.shape[-1]
-    left, right = a[..., :-1], a[..., 1:]
+    :func:`_restrict1d` up to the factor 2 (R = Pᵀ/2 per axis). Interleaves
+    via stack+reshape on the native axis (no transposes)."""
+    nc1 = a.shape[axis]
+    left = a[_axslice(a.ndim, axis, slice(None, -1))]
+    right = a[_axslice(a.ndim, axis, slice(1, None))]
     mid = 0.5 * (left + right)
-    inter = jnp.stack([left, mid], axis=-1).reshape(*a.shape[:-1], 2 * (nc1 - 1))
-    out = jnp.concatenate([inter, a[..., -1:]], axis=-1)
-    return jnp.moveaxis(out, -1, axis)
+    inter_shape = a.shape[:axis] + (2 * (nc1 - 1),) + a.shape[axis + 1 :]
+    inter = jnp.stack([left, mid], axis=axis + 1).reshape(inter_shape)
+    return jnp.concatenate(
+        [inter, a[_axslice(a.ndim, axis, slice(-1, None))]], axis=axis
+    )
 
 
 def restrict_full_weighting(r: jnp.ndarray) -> jnp.ndarray:
@@ -232,6 +244,23 @@ class _FusedLevel:
 
 
 @dataclass(frozen=True, eq=False)
+class _FusedLevel3D:
+    """Fine 3D V-cycle level running the fused Pallas z-leg kernels
+    (kernels/mg_fused3d.py); y/x transfers stay in XLA on the half-depth
+    intermediate."""
+
+    kernels: object  # FusedLevelKernels3D
+    h: int  # unpadded y extent (ny+1)
+    w: int  # unpadded x extent (nx+1)
+    child_interior: jnp.ndarray  # bool, child grid shape
+    jnp_level: _Level  # fallback for non-f32 fields
+
+    def pad_in(self, f: jnp.ndarray) -> jnp.ndarray:
+        d, hp, wp = self.kernels.padded_shape
+        return jnp.pad(f, ((0, 0), (0, hp - self.h), (0, wp - self.w)))
+
+
+@dataclass(frozen=True, eq=False)
 class MultigridPreconditioner:
     """Hashable callable ``z = M r`` ≈ ``A⁻¹ r``: one V(nu_pre, nu_post)
     cycle of rediscretized geometric multigrid. Plug into
@@ -293,12 +322,17 @@ class MultigridPreconditioner:
 
         def can_fuse(idx: int) -> bool:
             d = domains[idx]
-            return (
+            if not (
                 fuse
                 and nu_pre == 1  # the fused legs implement exactly V(1,1)
                 and idx < len(domains) - 1  # the coarsest level has no child
-                and not isinstance(d, Domain3D)
-                and getattr(d, "shape", None) in ("gamma", "rect")
+            ):
+                return False
+            if isinstance(d, Domain3D):
+                # 3D z-leg kernels: worth it once a volume sweep dominates
+                return d.ny + 1 >= fuse_min_extent // 4
+            return (
+                getattr(d, "shape", None) in ("gamma", "rect")
                 and d.ny + 1 >= fuse_min_extent
             )
 
@@ -335,10 +369,42 @@ class MultigridPreconditioner:
                 jnp_level=make_level(d),
             )
 
-        levels = tuple(
-            make_fused(i) if can_fuse(i) else make_level(d)
-            for i, d in enumerate(domains)
-        )
+        def make_fused_3d(idx: int) -> "_FusedLevel3D":
+            from iterative_solvers_tpu.kernels.mg_fused3d import FusedLevelKernels3D
+
+            d, c = domains[idx], domains[idx + 1]
+            dz, h, w = d.grid_shape
+            wp = -(-w // 128) * 128
+            hp = -(-h // 8) * 8
+            # largest multiple-of-8 panel height dividing hp, VMEM-capped
+            by = 8
+            for cand in range(8, min(hp, 129) + 1, 8):
+                if hp % cand == 0 and 24 * cand * wp * 4 <= 24 * 2**20:
+                    by = cand
+            k = FusedLevelKernels3D(
+                nx=d.nx,
+                ny=d.ny,
+                nz=d.nz,
+                coeffs=(d.coeff_diag, d.coeff_x, d.coeff_y, d.coeff_z),
+                cs=omega / d.coeff_diag,
+                padded_shape=(dz, hp, wp),
+                block_rows=by,
+                interpret=interpret,
+            )
+            return _FusedLevel3D(
+                kernels=k,
+                h=h,
+                w=w,
+                child_interior=jnp.asarray(np.asarray(c.interior)),
+                jnp_level=make_level(d),
+            )
+
+        def build_level(i, d):
+            if not can_fuse(i):
+                return make_level(d)
+            return make_fused_3d(i) if isinstance(d, Domain3D) else make_fused(i)
+
+        levels = tuple(build_level(i, d) for i, d in enumerate(domains))
         coarsest = domains[-1]
         if coarsest.num_unknowns <= dense_coarse_limit:
             idx, A = _assemble_dense(coarsest)
@@ -367,7 +433,24 @@ class MultigridPreconditioner:
         if li == len(self.levels) - 1:
             return self.coarse_solve(b)
         lev = self.levels[li]
-        if isinstance(lev, _FusedLevel):
+        if isinstance(lev, _FusedLevel3D):
+            if b.dtype == jnp.float32:
+                dz, hp, wp = lev.kernels.padded_shape
+                padded_in = b.shape == (dz, hp, wp)
+                bp = b if padded_in else lev.pad_in(b)
+                rr = lev.kernels.down(bp)  # z-restricted residual (Dc, hp, wp)
+                rc = rr[:, : lev.h, : lev.w]
+                rc = _restrict1d(_restrict1d(rc, 1), 2)  # y, x in XLA
+                rc = jnp.where(lev.child_interior, rc, 0.0)
+                ec = self._vcycle(li + 1, rc)
+                ecl = _prolong1d(_prolong1d(ec, 1), 2)  # y, x back up
+                ecl = jnp.pad(
+                    ecl, ((0, 0), (0, hp - lev.h), (0, wp - lev.w))
+                )
+                out = lev.kernels.up(bp, ecl)
+                return out if padded_in else out[:, : lev.h, : lev.w]
+            lev = lev.jnp_level
+        elif isinstance(lev, _FusedLevel):
             if b.dtype == jnp.float32:
                 from iterative_solvers_tpu.kernels.mg_fused import (
                     lane_prolong,
@@ -411,15 +494,18 @@ class MultigridPreconditioner:
         padded layout (the fused kernels' own) — such fields pass through
         the V-cycle with no pad/crop copies and a padded result."""
         lev0 = self.levels[0]
-        return isinstance(lev0, _FusedLevel) and tuple(shape) == tuple(
-            lev0.kernels.padded_shape
-        )
+        return isinstance(lev0, (_FusedLevel, _FusedLevel3D)) and tuple(
+            shape
+        ) == tuple(lev0.kernels.padded_shape)
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         lev0 = self.levels[0]
-        shape0 = (
-            (lev0.h, lev0.w) if isinstance(lev0, _FusedLevel) else lev0.interior.shape
-        )
+        if isinstance(lev0, _FusedLevel):
+            shape0 = (lev0.h, lev0.w)
+        elif isinstance(lev0, _FusedLevel3D):
+            shape0 = (lev0.kernels.padded_shape[0], lev0.h, lev0.w)
+        else:
+            shape0 = lev0.interior.shape
         if r.shape != shape0 and not (
             r.dtype == jnp.float32 and self.accepts_padded(r.shape)
         ):

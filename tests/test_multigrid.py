@@ -8,6 +8,7 @@ number of iterations — unlike plain CG whose count grows O(n)
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from iterative_solvers_tpu.api import DirichletSolver
@@ -386,3 +387,64 @@ def test_fused_padded_passthrough():
     np.testing.assert_allclose(np.asarray(zp[: r.shape[0], : r.shape[1]]),
                                np.asarray(z), rtol=1e-6, atol=1e-6)
     assert float(jnp.max(jnp.abs(zp[r.shape[0]:, :]))) == 0.0
+
+
+def test_fused3d_vcycle_matches_jnp():
+    # The 3D fused z-leg kernels (kernels/mg_fused3d.py) must reproduce the
+    # jnp V-cycle's output to f32 round-off on the box domain.
+    from iterative_solvers_tpu.core.domain import Domain3D
+
+    dom = Domain3D(nx=16, ny=16, nz=16)
+    M_jnp = MultigridPreconditioner.from_domain(dom, fuse=False)
+    M_fused = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    from iterative_solvers_tpu.solvers.multigrid import _FusedLevel3D
+
+    assert isinstance(M_fused.levels[0], _FusedLevel3D)
+    r = jax.random.normal(jax.random.PRNGKey(7), dom.grid_shape).astype(jnp.float32)
+    r = jnp.where(jnp.asarray(dom.interior), r, 0.0)
+    z_jnp = np.asarray(M_jnp(r))
+    z_fused = np.asarray(M_fused(r))
+    scale = np.max(np.abs(z_jnp))
+    np.testing.assert_allclose(z_fused, z_jnp, rtol=1e-5, atol=2e-6 * scale)
+
+
+def test_fused3d_vcycle_odd_panel_layouts():
+    from iterative_solvers_tpu.core.domain import Domain3D
+
+    # ny+1 = 25 -> hp = 32 with padding rows; nz != ny exercises distinct
+    # z/y extents in the kernels
+    dom = Domain3D(nx=16, ny=24, nz=8)
+    M_jnp = MultigridPreconditioner.from_domain(dom, fuse=False)
+    M_fused = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    r = jax.random.normal(jax.random.PRNGKey(8), dom.grid_shape).astype(jnp.float32)
+    r = jnp.where(jnp.asarray(dom.interior), r, 0.0)
+    z_jnp = np.asarray(M_jnp(r))
+    z_fused = np.asarray(M_fused(r))
+    scale = np.max(np.abs(z_jnp))
+    np.testing.assert_allclose(z_fused, z_jnp, rtol=1e-5, atol=2e-6 * scale)
+
+
+def test_fused3d_padded_passthrough():
+    from iterative_solvers_tpu.core.domain import Domain3D
+
+    dom = Domain3D(nx=16, ny=16, nz=16)
+    M = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    lev0 = M.levels[0]
+    dz, hp, wp = lev0.kernels.padded_shape
+    assert M.accepts_padded((dz, hp, wp))
+    r = jax.random.normal(jax.random.PRNGKey(9), dom.grid_shape).astype(jnp.float32)
+    r = jnp.where(jnp.asarray(dom.interior), r, 0.0)
+    z = M(r)
+    rp = jnp.pad(r, ((0, 0), (0, hp - r.shape[1]), (0, wp - r.shape[2])))
+    zp = M(rp)
+    assert zp.shape == (dz, hp, wp)
+    np.testing.assert_allclose(
+        np.asarray(zp[:, : r.shape[1], : r.shape[2]]), np.asarray(z),
+        rtol=1e-6, atol=1e-6,
+    )
