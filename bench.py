@@ -342,12 +342,25 @@ def _bench_solve_3d(n: int) -> None:
         eps_precision=-1, eps_residual=-1, eps_relative=1e-6, max_iterations=100000
     )
     b64 = prob.rhs_field(jnp.float64)
-    # one-dispatch device-side refinement (the host loop pays ~0.1 s of
-    # tunnel latency per sync; see BENCH_MODE=solve)
+    # One-dispatch device-side refinement on the PADDED layout: the Pallas
+    # 7-point apply (7.1 vs 10.1 ms at 512^3), the fused 3D V-cycle with
+    # padded pass-through, and the f64 outer all run on (D, Hp, Wp) fields —
+    # no pad/crop sweeps inside the loop, clean (8,128) tiling everywhere.
+    from iterative_solvers_tpu.kernels.stencil3d_pallas import Pallas3DStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
     from iterative_solvers_tpu.solvers.refine import device_refined_solve
 
+    pop3 = Pallas3DStencilOperator.from_domain(dom)
+    A_hi3 = StencilOperator(
+        jnp.asarray(pop3.interior_padded()), pop3.coeffs, ndim=3
+    )
+    Mp3 = PaddedPreconditioner(inner=M, padded_op=pop3)
+    b64p = pop3.pad(b64)
+
     def run_3d():
-        return device_refined_solve(op, op, b64, stop=stop, preconditioner=M)
+        return device_refined_solve(
+            A_hi3, pop3, b64p, stop=stop, preconditioner=Mp3
+        )
 
     run_3d()  # compile
     t0 = time.perf_counter()
