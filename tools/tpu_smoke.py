@@ -92,7 +92,11 @@ def run_suite(x64: bool, results: dict) -> None:
         results,
     )
 
-    _check(f"mg_fused[{tag}]", lambda: jnp.sum(M(b)), results)
+    _check(f"mg_fused[{tag}]", lambda: jnp.sum(jax.jit(M)(b)), results)
+
+    # 3D fused V-cycle legs (threshold ny+1 >= 128 at default fuse_min_extent)
+    M3 = MultigridPreconditioner.from_domain(dom3)
+    _check(f"mg_fused3d[{tag}]", lambda: jnp.sum(jax.jit(M3)(b3)), results)
 
 
 def main() -> int:
