@@ -336,7 +336,6 @@ def _bench_solve_3d(n: int) -> None:
 
     dom = Domain3D(nx=n, ny=n, nz=n)
     prob = PoissonProblem.manufactured(dom)
-    op = StencilOperator.from_domain(dom)
     M = MultigridPreconditioner.from_domain(dom)
     stop = StopConfig(
         eps_precision=-1, eps_residual=-1, eps_relative=1e-6, max_iterations=100000

@@ -7,14 +7,20 @@ CG, which at this scale cannot even reach the target in f32). The example
 defaults to 512² so it also runs quickly on CPU; pass a size to scale up.
 
 Run:  python examples/02_fast_large_scale.py [n]
+      ISTPU_PLATFORM=tpu python examples/02_fast_large_scale.py 8192
 """
 
 import os
 import sys
 import time
 
+# Force CPU by default: an ambient JAX_PLATFORMS (e.g. a TPU-tunnel
+# sitecustomize) must not silently move a demo onto shared hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("ISTPU_PLATFORM", "cpu")
+
 import jax
 
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)  # the f64 outer refinement loop
 
 import iterative_solvers_tpu as ist

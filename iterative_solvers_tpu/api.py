@@ -345,10 +345,13 @@ class DirichletSolver:
 
                 b64 = shard_field(b64, self.mesh)
                 u64 = shard_field(u64, self.mesh) if u64 is not None else None
-            # Single-chip TPU with an MG preconditioner and no live callback:
-            # run the whole IR loop on device (one dispatch + one fetch —
-            # each host sync over a tunneled TPU costs more than several
-            # fused PCG iterations). Callbacks/meshes keep the host loop.
+            # TPU with no live callback: run the whole IR loop on device (one
+            # dispatch + one fetch — each host sync over a tunneled TPU costs
+            # more than several fused PCG iterations), for single-chip AND
+            # mesh-sharded solves (GSPMD partitions the program). Note
+            # request_stop cannot preempt the single dispatch (bounded by
+            # max_outer x inner_max_iter); interactive callers (any callback)
+            # keep the chunked host loop.
             use_device_ir = (
                 callback is None
                 and jax.default_backend() != "cpu"

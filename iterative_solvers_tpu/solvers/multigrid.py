@@ -63,9 +63,9 @@ def _restrict1d(a: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Full-weighting restriction along one axis: coarse node i <- fine node 2i
     with kernel [1, 2, 1]/4. Fine extent 2*nc+1 -> coarse extent nc+1.
 
-    Slices along the NATIVE axis — a ``moveaxis`` round trip would transpose
-    the whole field twice per axis (3x at 512³ = most of the V-cycle's cost
-    on TPU; measured 60 -> ~? ms by removing it)."""
+    Slices along the NATIVE axis (the prior ``moveaxis`` round trip read as
+    two full-field transposes per axis; measured neutral on TPU — XLA had
+    already fused them away — but this form says what it does)."""
     n = a.shape[axis]  # = 2*nc + 1
     nc1 = (n - 1) // 2 + 1
     pad = [(0, 0)] * a.ndim
@@ -242,6 +242,11 @@ class _FusedLevel:
         hp, wp = self.kernels.padded_shape
         return jnp.pad(f, ((0, hp - self.h), (0, wp - self.w)))
 
+    def mask(self, x: jnp.ndarray) -> jnp.ndarray:
+        # The jnp fallback path (non-f32 fields, e.g. the escalated f64
+        # polish) masks through the CHILD level object, which may be fused.
+        return self.jnp_level.mask(x)
+
 
 @dataclass(frozen=True, eq=False)
 class _FusedLevel3D:
@@ -258,6 +263,9 @@ class _FusedLevel3D:
     def pad_in(self, f: jnp.ndarray) -> jnp.ndarray:
         d, hp, wp = self.kernels.padded_shape
         return jnp.pad(f, ((0, 0), (0, hp - self.h), (0, wp - self.w)))
+
+    def mask(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.jnp_level.mask(x)
 
 
 @dataclass(frozen=True, eq=False)

@@ -448,3 +448,55 @@ def test_fused3d_padded_passthrough():
         np.asarray(zp[:, : r.shape[1], : r.shape[2]]), np.asarray(z),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_fused3d_multi_panel_layout():
+    # ny=128 -> hp=136, by=8 -> 17 y-panels per plane: exercises the clamped
+    # y-halo BlockSpec logic the single-panel tests cannot reach (review
+    # coverage gap).
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.solvers.multigrid import _FusedLevel3D
+
+    dom = Domain3D(nx=16, ny=128, nz=8)
+    M_jnp = MultigridPreconditioner.from_domain(dom, fuse=False)
+    M_fused = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    lev0 = M_fused.levels[0]
+    assert isinstance(lev0, _FusedLevel3D)
+    assert lev0.kernels.padded_shape[1] // lev0.kernels.block_rows > 1
+    r = jax.random.normal(jax.random.PRNGKey(11), dom.grid_shape).astype(jnp.float32)
+    r = jnp.where(jnp.asarray(dom.interior), r, 0.0)
+    z_jnp = np.asarray(M_jnp(r))
+    z_fused = np.asarray(M_fused(r))
+    scale = np.max(np.abs(z_jnp))
+    np.testing.assert_allclose(z_fused, z_jnp, rtol=1e-5, atol=2e-6 * scale)
+
+
+def test_fused_levels_f64_fallback():
+    # Review regression: the non-f32 jnp fallback masks through the CHILD
+    # level object, which may itself be fused — fused levels must expose
+    # mask(). Exercised with >= 2 consecutive fused levels in 2D and 3D.
+    from iterative_solvers_tpu.core.domain import Domain3D
+
+    dom2 = Domain2D(nx=64, ny=64)
+    M2 = MultigridPreconditioner.from_domain(
+        dom2, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    r2 = jnp.asarray(np.random.default_rng(0).normal(size=dom2.grid_shape))
+    r2 = jnp.where(jnp.asarray(dom2.interior), r2, 0.0)  # f64 under x64
+    z2 = M2(r2)
+    assert z2.dtype == jnp.float64
+    M2_ref = MultigridPreconditioner.from_domain(dom2, fuse=False)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(M2_ref(r2)), rtol=1e-12)
+
+    dom3 = Domain3D(nx=16, ny=16, nz=16)
+    M3 = MultigridPreconditioner.from_domain(
+        dom3, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    r3 = jnp.asarray(np.random.default_rng(1).normal(size=dom3.grid_shape))
+    r3 = jnp.where(jnp.asarray(dom3.interior), r3, 0.0)
+    z3 = M3(r3)
+    assert z3.dtype == jnp.float64
+    M3_ref = MultigridPreconditioner.from_domain(dom3, fuse=False)
+    np.testing.assert_allclose(np.asarray(z3), np.asarray(M3_ref(r3)), rtol=1e-12)
