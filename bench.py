@@ -153,7 +153,10 @@ def _bench_cg_fused(n: int) -> None:
                 "metric": f"fused_cg_iteration_ms_{n}x{n}",
                 "value": per * 1e3,
                 "unit": "ms/iteration",
-                "vs_baseline": 6.90 / (per * 1e3),  # vs the XLA-fused jnp path
+                # vs the XLA-fused jnp CG path, recorded once at 8192^2 on
+                # v5e (NOTES_PERF.md CG-iteration table) — a fixed reference
+                # point so the ratio tracks THIS engine's regressions
+                "vs_baseline": 6.90 / (per * 1e3),
             }
         )
     )

@@ -187,3 +187,42 @@ def test_async_solver_usage_errors():
     runner.result(timeout=60)
     with pytest.raises(RuntimeError, match="already started"):
         runner.start()
+
+
+def test_concurrent_solvers_thread_safety():
+    # SURVEY §5 thread-safety surface: two independent facades solving
+    # concurrently from worker threads (the reference's worker-thread model)
+    # must not interfere — results identical to serial runs.
+    import threading
+
+    import numpy as np
+
+    from iterative_solvers_tpu.api import DirichletSolver
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=5000)
+
+    def solve(n):
+        return DirichletSolver(nx=n, ny=n, stop=stop).solve(record_history=False)
+
+    serial = {n: solve(n) for n in (16, 24)}
+    results = {}
+    errs = []
+
+    def worker(n):
+        try:
+            results[n] = solve(n)
+        except BaseException as e:  # surfaced to the main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(n,)) for n in (16, 24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    for n in (16, 24):
+        assert results[n].converged
+        assert results[n].iterations == serial[n].iterations
+        np.testing.assert_allclose(results[n].solution, serial[n].solution,
+                                   rtol=1e-12, atol=1e-12)
