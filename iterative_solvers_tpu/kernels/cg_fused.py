@@ -361,8 +361,14 @@ class FusedCGEngine:
         r2 = jnp.sum(r2_p[:, 0, 0])
         r_max = jnp.max(rmax_p[:, 0, 0])
         prec_max = jnp.abs(alpha) * zmax
-        wn = self.M(rn)
-        rz_new = jnp.sum(rn * wn)
+        fn = getattr(self.M, "call_with_dot", None)
+        if fn is not None:
+            # (r, w) rides the V-cycle's finest K_up as a fused epilogue —
+            # no separate two-field reduction sweep
+            wn, rz_new = fn(rn)
+        else:
+            wn = self.M(rn)
+            rz_new = jnp.sum(rn * wn)
         return state._replace(
             x=xn,
             r=rn,
@@ -420,6 +426,9 @@ class FusedCGEngine:
 def _pcg_init(M, r):
     """w_0 = M r_0 and (r_0, w_0) as ONE compiled program (the V-cycle would
     otherwise dispatch op-by-op over a tunneled TPU)."""
+    fn = getattr(M, "call_with_dot", None)
+    if fn is not None:
+        return fn(r)
     w = M(r)
     return w, jnp.sum(r * w)
 

@@ -91,7 +91,10 @@ def _make_k_down(nx, ny, cd, cx, cy, cs, by, wp, mask_mode):
     return kernel
 
 
-def _make_k_up(nx, ny, cd, cx, cy, cs, by, wp, mask_mode, ch):
+LANES = 128
+
+
+def _make_k_up(nx, ny, cd, cx, cy, cs, by, wp, mask_mode, ch, with_dot=False):
     pred = _interior_pred(mask_mode, nx, ny)
 
     def rows_valid(g0, rows):
@@ -102,7 +105,8 @@ def _make_k_up(nx, ny, cd, cx, cy, cs, by, wp, mask_mode, ch):
         ri = lax.broadcasted_iota(jnp.int32, (rows, wp), 0) + g0
         return (ri >= 0) & (ri < ch)
 
-    def kernel(b_ref, bup_ref, bdn_ref, ec_ref, ecup_ref, ecdn_ref, o_ref):
+    def kernel(b_ref, bup_ref, bdn_ref, ec_ref, ecup_ref, ecdn_ref, o_ref,
+               *dot_refs):
         # The pre-smoothed iterate is reconstructed as x = (ω/d)·b in
         # registers (K_down no longer writes it), including its halo rows
         # from the b halo groups.
@@ -134,7 +138,13 @@ def _make_k_up(nx, ny, cd, cx, cy, cs, by, wp, mask_mode, ch):
         xc_ext = jnp.concatenate([xa, xc, xb], axis=0)
         # post-smooth: x + (ω/d)·(b − A x_corrected)
         R = _stencil_rows(xc_ext, bm, m, cd, cx, cy, wp)
-        o_ref[...] = jnp.where(m, xc + cs * R, 0.0)
+        out = jnp.where(m, xc + cs * R, 0.0)
+        o_ref[...] = out
+        if with_dot:
+            # per-panel partial of (b, out): when this level's b is the PCG
+            # residual and out is M r, the sum of these partials IS the PCG's
+            # rz — the separate two-field reduction sweep disappears
+            dot_refs[0][...] = jnp.full((1, 8, LANES), jnp.sum(bm * out), out.dtype)
 
     return kernel
 
@@ -184,25 +194,33 @@ class FusedLevelKernels:
             interpret=self.interpret,
         )(b, b, b)
 
-    def up(self, b: jnp.ndarray, ec_lanes: jnp.ndarray) -> jnp.ndarray:
+    def up(self, b: jnp.ndarray, ec_lanes: jnp.ndarray, with_dot: bool = False):
         """Post-smoothed corrected iterate; ``ec_lanes`` is the lane-prolonged
-        coarse correction on this level's (hp/2, wp) row layout."""
+        coarse correction on this level's (hp/2, wp) row layout. With
+        ``with_dot`` also returns (b, out) — the PCG's rz when this level's
+        b is the residual — as a fused epilogue reduction."""
         with jax.enable_x64(False):
-            return self._up(b, ec_lanes)
+            return self._up(b, ec_lanes, with_dot)
 
-    def _up(self, b: jnp.ndarray, ec_lanes: jnp.ndarray) -> jnp.ndarray:
+    def _up(self, b: jnp.ndarray, ec_lanes: jnp.ndarray, with_dot: bool = False):
         hp, wp = self.padded_shape
         by = self.block_rows
         cd, cx, cy = self.coeffs
         ch = self.ny // 2 + 1  # coarse row count
         kernel = _make_k_up(
-            self.nx, self.ny, cd, cx, cy, self.cs, by, wp, self.mask_mode, ch
+            self.nx, self.ny, cd, cx, cy, self.cs, by, wp, self.mask_mode, ch,
+            with_dot,
         )
         g = hp // by
         gy = hp // 8
         gc = (hp // 2) // 8
         half8 = (by // 2) // 8
-        return pl.pallas_call(
+        out_specs = [pl.BlockSpec((by, wp), lambda i: (i, 0))]
+        out_shape = [jax.ShapeDtypeStruct((hp, wp), b.dtype)]
+        if with_dot:
+            out_specs.append(pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((g, 8, LANES), b.dtype))
+        res = pl.pallas_call(
             kernel,
             grid=(g,),
             in_specs=[
@@ -217,11 +235,15 @@ class FusedLevelKernels:
                     (8, wp), lambda i: (jnp.minimum((i + 1) * half8, gc - 1), 0)
                 ),
             ],
-            out_specs=pl.BlockSpec((by, wp), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((hp, wp), b.dtype),
+            out_specs=tuple(out_specs) if with_dot else out_specs[0],
+            out_shape=tuple(out_shape) if with_dot else out_shape[0],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
             interpret=self.interpret,
         )(b, b, b, ec_lanes, ec_lanes, ec_lanes)
+        if with_dot:
+            out, dot_p = res
+            return out, jnp.sum(dot_p[:, 0, 0])
+        return res
 
 
 def lane_restrict(rr: jnp.ndarray, nx: int, wc_pad: int) -> jnp.ndarray:

@@ -520,6 +520,33 @@ class MultigridPreconditioner:
             raise ValueError(f"field shape {r.shape} != fine-level grid {shape0}")
         return self._vcycle(0, r)
 
+    def call_with_dot(self, r: jnp.ndarray):
+        """(z, (r, z)) — with a fused 2D padded-pass-through fine level, the
+        dot rides the finest K_up as a per-panel epilogue reduction (one
+        full-field sweep saved per PCG iteration); generic fallback computes
+        it separately."""
+        lev = self.levels[0]
+        if (
+            isinstance(lev, _FusedLevel)
+            and r.dtype == jnp.float32
+            and tuple(r.shape) == tuple(lev.kernels.padded_shape)
+        ):
+            from iterative_solvers_tpu.kernels.mg_fused import (
+                lane_prolong,
+                lane_restrict,
+            )
+
+            hp, wp = lev.kernels.padded_shape
+            rr = lev.kernels.down(r)
+            rc = lane_restrict(rr[: lev.ch], lev.nx, lev.cw)
+            rc = jnp.where(lev.child_interior, rc, 0.0)
+            ec = self._vcycle(1, rc)
+            ecl = lane_prolong(ec, lev.nx // 2, wp)
+            ecl = jnp.pad(ecl, ((0, hp // 2 - lev.ch), (0, 0)))
+            return lev.kernels.up(r, ecl, with_dot=True)
+        z = self(r)
+        return z, jnp.sum(r * z)
+
     @property
     def num_levels(self) -> int:
         return len(self.levels)
@@ -574,3 +601,18 @@ class PaddedPreconditioner:
         if accepts is not None and r.dtype == jnp.float32 and accepts(r.shape):
             return self.inner(r)
         return self.padded_op.pad(self.inner(self.padded_op.crop(r)))
+
+    def call_with_dot(self, r: jnp.ndarray):
+        """(z, (r, z)); forwards to the inner V-cycle's fused-dot path when
+        the padded layouts agree."""
+        fn = getattr(self.inner, "call_with_dot", None)
+        accepts = getattr(self.inner, "accepts_padded", None)
+        if (
+            fn is not None
+            and accepts is not None
+            and r.dtype == jnp.float32
+            and accepts(r.shape)
+        ):
+            return fn(r)
+        z = self(r)
+        return z, jnp.sum(r * z)

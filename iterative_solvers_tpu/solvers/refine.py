@@ -447,8 +447,12 @@ def _device_ir(
         """Fused PCG on A d = r (f32, from zero) to a traced relative tol."""
         r32 = r_hi.astype(f32)
         eta = _traced_inner_eta(stop, inner_rel_tol, r_hi, r0_norm)
-        w0 = M(r32)
-        rz0 = jnp.sum(r32 * w0)
+        cwd = getattr(M, "call_with_dot", None)
+        if cwd is not None:
+            w0, rz0 = cwd(r32)  # dot fused into the V-cycle's finest K_up
+        else:
+            w0 = M(r32)
+            rz0 = jnp.sum(r32 * w0)
         r2_0 = jnp.sum(r32 * r32)
         s0 = CGState(
             x=jnp.zeros_like(r32), r=r32, z=jnp.zeros_like(r32),

@@ -500,3 +500,29 @@ def test_fused_levels_f64_fallback():
     assert z3.dtype == jnp.float64
     M3_ref = MultigridPreconditioner.from_domain(dom3, fuse=False)
     np.testing.assert_allclose(np.asarray(z3), np.asarray(M3_ref(r3)), rtol=1e-12)
+
+
+def test_call_with_dot_matches_separate_dot():
+    # The fused K_up dot epilogue must equal M(r), sum(r*M(r)) — padded
+    # pass-through (fused path) and unpadded (generic fallback) both.
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
+
+    dom = Domain2D(nx=32, ny=32)
+    M = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    pal = PallasStencilOperator.from_domain(dom)
+    Mp = PaddedPreconditioner(inner=M, padded_op=pal)
+    r = jax.random.normal(jax.random.PRNGKey(12), dom.grid_shape).astype(jnp.float32)
+    r = jnp.where(jnp.asarray(dom.interior), r, 0.0)
+    rp = pal.pad(r)
+    z_ref = Mp(rp)
+    rz_ref = float(jnp.sum(rp * z_ref))
+    z, rz = Mp.call_with_dot(rp)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), rtol=1e-6)
+    assert float(rz) == pytest.approx(rz_ref, rel=1e-5)
+    # unpadded fallback
+    z2, rz2 = M.call_with_dot(r)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(M(r)), rtol=1e-6)
+    assert float(rz2) == pytest.approx(float(jnp.sum(r * M(r))), rel=1e-5)
