@@ -91,6 +91,37 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--trace-dir", metavar="DIR",
                    help="capture a full XLA device trace (TensorBoard format)")
     s.add_argument("--quiet", action="store_true")
+    s.add_argument("--print-matrix", action="store_true",
+                   help="print the assembled system matrix as a console table "
+                   "(small systems only)")
+    s.add_argument("--print-rhs", action="store_true",
+                   help="print the right-hand side to the console")
+    s.add_argument("--print-vectors", metavar="Q", action="append", default=[],
+                   choices=["solution", "true_solution", "residual", "error"],
+                   help="print a result vector as an '# x y value' console "
+                   "table (repeatable)")
+
+    v = sub.add_parser(
+        "view",
+        help="reload a saved results file and re-plot / re-print it "
+        "(the reference GUI's load-and-inspect capability)",
+    )
+    v.add_argument("file", help="sectioned-text (.txt) or .npz results file")
+    v.add_argument("--shape", choices=["gamma", "rect"], default="gamma",
+                   help="domain shape for grid-based plots (not recorded in "
+                   "the text format; the reference domain is gamma)")
+    v.add_argument("--plots", metavar="DIR",
+                   help="write the same PNG set as 'solve --plots'")
+    v.add_argument("--report", action="store_true",
+                   help="print the full text report (default when no other "
+                   "output is requested)")
+    v.add_argument("--print-vectors", metavar="Q", action="append", default=[],
+                   choices=["solution", "true_solution", "residual", "error"],
+                   help="print a result vector as a console table (repeatable)")
+    v.add_argument("--limit", type=int, default=0,
+                   help="truncate printed tables to N rows (0 = all)")
+    v.add_argument("--save-npz", metavar="PATH",
+                   help="re-save the loaded results as npz")
 
     sub.add_parser("version", help="print version")
     p._solve_parser = s  # for --config default injection (see main())
@@ -202,16 +233,81 @@ def cmd_solve(args) -> int:
     if args.save_3d:
         results_io.save_solution_3d(args.save_3d, res)
     if args.plots:
-        os.makedirs(args.plots, exist_ok=True)
-        viz.convergence_plot(res, os.path.join(args.plots, "convergence.png"))
-        for q in ("solution", "error", "residual"):
-            viz.scatter_plot(res, os.path.join(args.plots, f"scatter_{q}.png"), q)
-        viz.heatmap(res, dom, os.path.join(args.plots, "heatmap_error.png"), "error")
-        viz.surface_3d(res, dom, os.path.join(args.plots, "surface.png"))
-        if not args.quiet:
-            print(f"plots written to {args.plots}/", file=sys.stderr)
+        _write_plots(res, dom, args.plots, args.quiet)
+    for q in args.print_vectors:
+        from iterative_solvers_tpu.report import vector_table
+
+        print(vector_table(res, q))
+    if args.print_matrix:
+        from iterative_solvers_tpu.report import matrix_table
+
+        print(matrix_table(dom))
+    if args.print_rhs:
+        from iterative_solvers_tpu.report import rhs_table
+
+        b = ordering.pack(solver.problem.rhs_field(dtype), dom)
+        print(rhs_table(dom, b))
 
     return 0 if res.converged or not stop.any_enabled else 2
+
+
+def _write_plots(res, dom, outdir: str, quiet: bool) -> None:
+    from iterative_solvers_tpu import viz
+
+    os.makedirs(outdir, exist_ok=True)
+    if getattr(res, "history", None) is not None:
+        viz.convergence_plot(res, os.path.join(outdir, "convergence.png"))
+    elif not quiet:
+        print("no recorded history; skipping convergence.png", file=sys.stderr)
+    for q in ("solution", "error", "residual"):
+        viz.scatter_plot(res, os.path.join(outdir, f"scatter_{q}.png"), q)
+    if not getattr(res, "nz", 0):
+        viz.heatmap(res, dom, os.path.join(outdir, "heatmap_error.png"), "error")
+        viz.surface_3d(res, dom, os.path.join(outdir, "surface.png"))
+    if not quiet:
+        print(f"plots written to {outdir}/", file=sys.stderr)
+
+
+def cmd_view(args) -> int:
+    """Reload a saved results file and re-plot / re-print it — the CLI verb
+    for the reference GUI's load-and-inspect capability
+    (reference solver/dirichlet_solver.cpp:315-405 loadResults)."""
+    from iterative_solvers_tpu import results_io
+    from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+    from iterative_solvers_tpu.report import vector_table
+
+    if args.file.endswith(".npz"):
+        res = results_io.load_results_npz(args.file)
+    else:
+        res, _solver_name = results_io.load_results(args.file)
+
+    b = res.bounds
+    if getattr(res, "nz", 0):
+        dom = Domain3D(
+            nx=res.nx, ny=res.ny, nz=res.nz,
+            x0=b[0], x1=b[1], y0=b[2], y1=b[3],
+            z0=b[4] if len(b) > 4 else 0.0, z1=b[5] if len(b) > 5 else 1.0,
+        )
+    else:
+        dom = Domain2D(
+            nx=res.nx, ny=res.ny,
+            x0=b[0], x1=b[1], y0=b[2], y1=b[3], shape=args.shape,
+        )
+
+    did_output = False
+    if args.plots:
+        _write_plots(res, dom, args.plots, quiet=False)
+        did_output = True
+    for q in args.print_vectors:
+        print(vector_table(res, q, limit=args.limit))
+        did_output = True
+    if args.save_npz:
+        results_io.save_results_npz(args.save_npz, res)
+        print(f"results re-saved to {args.save_npz}", file=sys.stderr)
+        did_output = True
+    if args.report or not did_output:
+        print(res.report())
+    return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -237,6 +333,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         parser.print_help()
         return 1
     try:
+        if args.command == "view":
+            return cmd_view(args)
         return cmd_solve(args)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

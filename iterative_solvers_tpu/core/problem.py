@@ -76,7 +76,9 @@ class PoissonProblem:
     @staticmethod
     def manufactured(domain: Domain) -> "PoissonProblem":
         """The reference's canonical problem: u = exp(x²−y²) on the Г-domain
-        (2D) or u = sin(πx)sin(πy)sin(πz) on a box (3D)."""
+        (2D); in 3D (an extension — the reference is 2D-only) u = exp(xyz) on
+        a box, chosen deliberately non-eigen with nonzero Dirichlet data (see
+        :func:`_reference_f3`)."""
         if isinstance(domain, Domain3D):
             return PoissonProblem(domain, f=_reference_f3, u_exact=_reference_u3)
         return PoissonProblem(domain)

@@ -189,8 +189,14 @@ def save_results_npz(path: str, results) -> None:
         elapsed_s=results.elapsed_s,
         nx=results.nx,
         ny=results.ny,
+        nz=getattr(results, "nz", 0),
         bounds=np.asarray(results.bounds),
         history=results.history if results.history is not None else np.zeros((0, 5)),
+        z_coords=(
+            results.z_coords
+            if getattr(results, "z_coords", None) is not None
+            else np.zeros(0)
+        ),
     )
 
 
@@ -215,8 +221,12 @@ def load_results_npz(path: str):
         elapsed_s=float(z["elapsed_s"]),
         nx=int(z["nx"]),
         ny=int(z["ny"]),
+        nz=int(z["nz"]) if "nz" in z else 0,
         bounds=tuple(z["bounds"]),
         history=hist if hist.size else None,
+        z_coords=(
+            z["z_coords"] if "z_coords" in z and z["z_coords"].size else None
+        ),
     )
 
 
@@ -242,21 +252,45 @@ def save_matrix_and_rhs(path: str, domain, rhs_compact: np.ndarray) -> None:
 
 
 def load_matrix_and_rhs(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """(row_map, entries, values, rhs) from a MATRIX_INFO dump."""
+    """(row_map, entries, values, rhs) from a MATRIX_INFO dump.
+
+    Malformed files raise ``ValueError`` naming the offending section
+    (``assert``-based validation would vanish under ``python -O``)."""
     with open(path) as f:
         lines = [ln.strip() for ln in f if ln.strip()]
-    assert lines[0] == "MATRIX_INFO", path
-    n_rows, nnz = (int(v) for v in lines[2].split())
-    assert lines[3] == "MATRIX"
+    if not lines or lines[0] != "MATRIX_INFO":
+        raise ValueError(f"{path}: not a MATRIX_INFO dump (bad header)")
+    try:
+        n_rows, nnz = (int(v) for v in lines[2].split())
+    except (IndexError, ValueError) as e:
+        raise ValueError(f"{path}: malformed MATRIX_INFO size line") from e
+    if n_rows < 0 or nnz < 0:
+        raise ValueError(f"{path}: negative sizes in MATRIX_INFO ({n_rows}, {nnz})")
+    if len(lines) < 4 or lines[3] != "MATRIX":
+        raise ValueError(f"{path}: missing MATRIX section")
     i = 4
-    row_map = np.asarray([int(v) for v in lines[i : i + n_rows + 1]])
-    i += n_rows + 1
-    entries = np.asarray([int(v) for v in lines[i : i + nnz]])
-    i += nnz
-    values = np.asarray([float(v) for v in lines[i : i + nnz]])
-    i += nnz
-    assert lines[i] == "RHS"
-    rhs = np.asarray([float(v) for v in lines[i + 1 : i + 1 + n_rows]])
+    if len(lines) < i + (n_rows + 1) + 2 * nnz + 1 + n_rows:
+        raise ValueError(
+            f"{path}: truncated dump ({len(lines)} lines for "
+            f"{n_rows} rows / {nnz} nonzeros)"
+        )
+    try:
+        row_map = np.asarray([int(v) for v in lines[i : i + n_rows + 1]])
+        i += n_rows + 1
+        entries = np.asarray([int(v) for v in lines[i : i + nnz]])
+        i += nnz
+        values = np.asarray([float(v) for v in lines[i : i + nnz]])
+        i += nnz
+    except ValueError as e:
+        raise ValueError(f"{path}: non-numeric data in MATRIX section") from e
+    if lines[i] != "RHS":
+        raise ValueError(f"{path}: missing RHS section (found {lines[i]!r})")
+    try:
+        rhs = np.asarray([float(v) for v in lines[i + 1 : i + 1 + n_rows]])
+    except ValueError as e:
+        raise ValueError(f"{path}: non-numeric data in RHS section") from e
+    if row_map[0] != 0 or row_map[-1] != nnz or np.any(np.diff(row_map) < 0):
+        raise ValueError(f"{path}: inconsistent CSR row_map")
     return row_map, entries, values, rhs
 
 

@@ -80,3 +80,64 @@ def test_heatmap_stats(tmp_path):
     stats = viz.heatmap(res, dom, str(tmp_path / "h.png"), "error")
     assert 0 <= stats["min"] <= stats["avg"] <= stats["max"]
     assert stats["max"] == pytest.approx(res.error_norm, rel=1e-9)
+
+
+def test_cli_view_round_trip(tmp_path, capsys):
+    """solve -> save -> view -> same plot set + report (VERDICT r2 item 8:
+    the reference GUI's load-and-inspect, dirichlet_solver.cpp:315-405)."""
+    saved = str(tmp_path / "r.txt")
+    assert main(["solve", "--nx", "16", "--ny", "16", "--save", saved,
+                 "--quiet", "--progress-every", "0"]) == 0
+    capsys.readouterr()
+
+    plots = str(tmp_path / "view_plots")
+    rc = main(["view", saved, "--plots", plots, "--report"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "Dirichlet-Poisson solve report" in out.out
+    for f in (
+        "scatter_solution.png",
+        "scatter_error.png",
+        "scatter_residual.png",
+        "heatmap_error.png",
+        "surface.png",
+    ):
+        assert os.path.getsize(os.path.join(plots, f)) > 1000
+
+    # npz round trip through view
+    npz = str(tmp_path / "again.npz")
+    assert main(["view", saved, "--save-npz", npz]) == 0
+    capsys.readouterr()
+    assert main(["view", npz, "--print-vectors", "solution", "--limit", "5"]) == 0
+    out = capsys.readouterr()
+    assert "... (" in out.out  # truncation marker
+    assert "solution" in out.out
+
+
+def test_cli_view_default_prints_report(tmp_path, capsys):
+    saved = str(tmp_path / "r.txt")
+    main(["solve", "--nx", "8", "--ny", "8", "--save", saved, "--quiet",
+          "--progress-every", "0"])
+    capsys.readouterr()
+    assert main(["view", saved]) == 0
+    assert "Outcome:" in capsys.readouterr().out
+
+
+def test_cli_console_printers(capsys):
+    """Console pretty-printers (reference main.cpp:468-594)."""
+    rc = main(["solve", "--nx", "6", "--ny", "6", "--quiet",
+               "--progress-every", "0", "--print-matrix", "--print-rhs",
+               "--print-vectors", "solution", "--print-vectors", "residual"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "System matrix (16 x 16" in out
+    assert "-144" in out  # golden 6x6 diagonal
+    assert "Right-hand side (16 unknowns)" in out
+    assert "solution" in out and "residual" in out
+
+
+def test_print_matrix_refuses_huge(capsys):
+    rc = main(["solve", "--nx", "64", "--ny", "64", "--quiet",
+               "--progress-every", "0", "--print-matrix"])
+    assert rc == 0
+    assert "too large for a console table" in capsys.readouterr().out

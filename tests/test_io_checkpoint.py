@@ -145,3 +145,30 @@ def test_periodic_checkpointer(tmp_path):
     )
     state = load_cg_state(ckpt)
     assert int(state.k) > 0
+
+
+def test_load_matrix_and_rhs_malformed(tmp_path):
+    """Loader validation raises ValueError, not assert (VERDICT r2 item 9)."""
+    import pytest
+    from iterative_solvers_tpu import results_io
+
+    p = tmp_path / "bad.txt"
+    p.write_text("NOT_A_DUMP\n")
+    with pytest.raises(ValueError, match="bad header"):
+        results_io.load_matrix_and_rhs(str(p))
+
+    p.write_text("MATRIX_INFO\n6 6\nxx yy\nMATRIX\n")
+    with pytest.raises(ValueError, match="size line"):
+        results_io.load_matrix_and_rhs(str(p))
+
+    p.write_text("MATRIX_INFO\n6 6\n2 3\nMATRIX\n0\n1\n3\n")
+    with pytest.raises(ValueError, match="truncated"):
+        results_io.load_matrix_and_rhs(str(p))
+
+    # row_map consistency: row_map[-1] != nnz
+    body = "MATRIX_INFO\n6 6\n2 2\nMATRIX\n" + "\n".join(
+        ["0", "1", "3", "0", "1", "1.0", "2.0", "RHS", "1.0", "2.0"]
+    ) + "\n"
+    p.write_text(body)
+    with pytest.raises(ValueError, match="row_map"):
+        results_io.load_matrix_and_rhs(str(p))
