@@ -7,6 +7,7 @@ from iterative_solvers_tpu.parallel.mesh import (
     make_sharded_problem,
 )
 from iterative_solvers_tpu.parallel.halo import ShardedStencilOperator
+from iterative_solvers_tpu.parallel.halo_pallas import ShardedPallasStencilOperator
 from iterative_solvers_tpu.parallel.multihost import (
     initialize_distributed,
     make_hybrid_mesh,
@@ -22,4 +23,5 @@ __all__ = [
     "shard_field",
     "make_sharded_problem",
     "ShardedStencilOperator",
+    "ShardedPallasStencilOperator",
 ]
