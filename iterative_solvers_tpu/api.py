@@ -123,6 +123,8 @@ class DirichletSolver:
         self._M = None
         self._M_key = None
         self._ir_cache = None  # (pallas op, padded M) for the device-IR path
+        self._hi_op = None  # jnp twin of a sharded Pallas operator (f64 outer)
+        self._hi_op_key = None
 
     def _validate_config(self) -> None:
         """Reject unsupported option combinations at construction time with
@@ -169,12 +171,31 @@ class DirichletSolver:
             raise ValueError(
                 f"unknown precision {self.precision!r} (use None or 'mixed')"
             )
-        if self.precision == "mixed" and operator != "stencil":
+        if self.precision == "mixed" and operator != "stencil" and not (
+            operator == "pallas" and self.mesh is not None
+        ):
             raise ValueError(
-                "precision='mixed' requires the matrix-free stencil operator"
+                "precision='mixed' requires the matrix-free stencil operator "
+                "(or operator='pallas' with a mesh for the sharded fast path)"
             )
-        if self.mesh is not None and operator != "stencil":
-            raise ValueError("mesh (distributed solve) requires operator='stencil'")
+        if self.mesh is not None:
+            if operator not in ("stencil", "pallas"):
+                raise ValueError(
+                    "mesh (distributed solve) requires operator='stencil' "
+                    "(jnp halo exchange) or 'pallas' (sharded Pallas fast path)"
+                )
+            if operator == "pallas":
+                if is3d:
+                    raise ValueError(
+                        "operator='pallas' with a mesh is 2D-only; use "
+                        "operator='stencil' for sharded 3D solves"
+                    )
+                if getattr(self.domain, "shape", None) not in ("gamma", "rect"):
+                    raise ValueError(
+                        "operator='pallas' with a mesh needs a gamma/rect "
+                        "domain (algebraic masks); use operator='stencil' "
+                        "for custom masks"
+                    )
 
     # --- parameter setters (reference dirichlet_solver.cpp:35-53,71-87) ----
 
@@ -201,6 +222,8 @@ class DirichletSolver:
         self._M = None
         self._M_key = None
         self._ir_cache = None
+        self._hi_op = None
+        self._hi_op_key = None
 
     def set_stop(self, **kwargs) -> None:
         """Update stop criteria; eps <= 0 disables a criterion
@@ -223,6 +246,15 @@ class DirichletSolver:
     def _make_operator(self):
         if self._op is None:
             if self.mesh is not None:
+                if self.operator_kind == "pallas":
+                    from iterative_solvers_tpu.parallel.halo_pallas import (
+                        ShardedPallasStencilOperator,
+                    )
+
+                    self._op = ShardedPallasStencilOperator.from_domain(
+                        self.domain, self.mesh, self.dtype
+                    )
+                    return self._op
                 from iterative_solvers_tpu.parallel.halo import (
                     ShardedStencilOperator,
                 )
@@ -253,6 +285,31 @@ class DirichletSolver:
                 self._op = StencilOperator.from_domain(self.domain, self.dtype)
         return self._op
 
+    def _hi_operator(self, A):
+        """High-precision (f64-capable) twin of ``A`` on the SAME field
+        layout, for the mixed-precision outer loop. The jnp operators are
+        their own twin; the sharded Pallas operator (f32-only kernels on
+        TPU) gets a jnp halo operator rebuilt on its padded layout."""
+        from iterative_solvers_tpu.parallel.halo_pallas import (
+            ShardedPallasStencilOperator,
+        )
+
+        if not isinstance(A, ShardedPallasStencilOperator):
+            return A
+        if getattr(self, "_hi_op", None) is None or self._hi_op_key != id(A):
+            from iterative_solvers_tpu.parallel.halo import ShardedStencilOperator
+
+            self._hi_op = ShardedStencilOperator(
+                mesh=A.mesh,
+                coeffs=A.coeffs,
+                grid_shape=A.grid_shape,
+                padded_shape=A.padded_shape,
+                mask_kind=A.mask_mode,
+                dims=(A.nx, A.ny),
+            )
+            self._hi_op_key = id(A)
+        return self._hi_op
+
     def solve(
         self,
         callback: Optional[Callable[[int, float, float, float], None]] = None,
@@ -270,10 +327,16 @@ class DirichletSolver:
         if self.problem.u_exact is not None:
             u = self.problem.true_solution_field(self.dtype)
         if self.mesh is not None:
-            from iterative_solvers_tpu.parallel.mesh import shard_field
+            if self.operator_kind == "pallas":
+                # the sharded Pallas operator has its own (tile-aligned)
+                # padded layout
+                b = A.shard(b)
+                u = A.shard(u) if u is not None else None
+            else:
+                from iterative_solvers_tpu.parallel.mesh import shard_field
 
-            b = shard_field(b, self.mesh)
-            u = shard_field(u, self.mesh) if u is not None else None
+                b = shard_field(b, self.mesh)
+                u = shard_field(u, self.mesh) if u is not None else None
         elif self.operator_kind == "sparse":
             b = ordering.pack(b, dom)
             u = ordering.pack(u, dom) if u is not None else None
@@ -292,16 +355,27 @@ class DirichletSolver:
 
                 M = make_preconditioner(self.preconditioner, A, dom)
                 if self.mesh is not None and hasattr(M, "levels"):
-                    from iterative_solvers_tpu.solvers.multigrid import (
-                        ShardedMultigridPreconditioner,
-                    )
+                    if self.operator_kind == "pallas":
+                        # sharded fast path: fused Pallas V-cycle legs per
+                        # block under shard_map, on the operator's layout
+                        from iterative_solvers_tpu.parallel.mg_sharded import (
+                            ShardedFusedMultigrid,
+                        )
 
-                    # rebuild through from_domain: it disables the single-
-                    # device fused Pallas levels, which don't shard under
-                    # GSPMD
-                    M = ShardedMultigridPreconditioner.from_domain(
-                        dom, self.mesh, nu_pre=M.nu_pre, nu_post=M.nu_post
-                    )
+                        M = ShardedFusedMultigrid.from_operator(
+                            A, dom, nu_pre=M.nu_pre, nu_post=M.nu_post
+                        )
+                    else:
+                        from iterative_solvers_tpu.solvers.multigrid import (
+                            ShardedMultigridPreconditioner,
+                        )
+
+                        # rebuild through from_domain: it disables the
+                        # single-device fused Pallas levels, which don't
+                        # shard under GSPMD
+                        M = ShardedMultigridPreconditioner.from_domain(
+                            dom, self.mesh, nu_pre=M.nu_pre, nu_post=M.nu_post
+                        )
                 elif self.operator_kind in ("pallas", "fused") and hasattr(M, "levels"):
                     # multigrid works on unpadded grids; adapt to the padded
                     # layout
@@ -341,10 +415,14 @@ class DirichletSolver:
                 else None
             )
             if self.mesh is not None:
-                from iterative_solvers_tpu.parallel.mesh import shard_field
+                if self.operator_kind == "pallas":
+                    b64 = A.shard(b64)
+                    u64 = A.shard(u64) if u64 is not None else None
+                else:
+                    from iterative_solvers_tpu.parallel.mesh import shard_field
 
-                b64 = shard_field(b64, self.mesh)
-                u64 = shard_field(u64, self.mesh) if u64 is not None else None
+                    b64 = shard_field(b64, self.mesh)
+                    u64 = shard_field(u64, self.mesh) if u64 is not None else None
             # TPU with no live callback: run the whole IR loop on device (one
             # dispatch + one fetch — each host sync over a tunneled TPU costs
             # more than several fused PCG iterations), for single-chip AND
@@ -394,7 +472,7 @@ class DirichletSolver:
                 from iterative_solvers_tpu.solvers.refine import device_refined_solve
 
                 res = device_refined_solve(
-                    A,
+                    self._hi_operator(A),
                     A,
                     b64,
                     u_true=u64,
@@ -404,7 +482,7 @@ class DirichletSolver:
                 )
             else:
                 res = refined_solve(
-                    A,
+                    self._hi_operator(A),
                     A,
                     b64,
                     u_true=u64,
@@ -435,7 +513,16 @@ class DirichletSolver:
         if self.operator_kind == "fused":
             r = b - A.crop(A(A.pad(x)))  # fused returns x already cropped
         else:
-            r = b - A(x)
+            Ar = A
+            if (
+                self.mesh is not None
+                and self.operator_kind == "pallas"
+                and x.dtype != jnp.float32
+            ):
+                # f64 iterate from the mixed path: the sharded Pallas
+                # kernels are f32-only on TPU — use the jnp twin
+                Ar = self._hi_operator(A)
+            r = b - Ar(x)
         if self.mesh is not None:
             from iterative_solvers_tpu.parallel.mesh import crop_field
 

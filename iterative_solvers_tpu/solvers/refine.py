@@ -235,7 +235,10 @@ def refined_solve(
                 # precision polish falls back to the standard path below
                 inner = inner_solve_fn(r.astype(cur_dtype), opts)
             else:
-                inner = cg_solve(A_lo, r.astype(cur_dtype), options=opts)
+                # escalated (b.dtype) inners must use A_hi: A_lo may be a
+                # Pallas operator whose kernels are f32-only on TPU
+                A_in = A_lo if cur_dtype == lo_dtype else A_hi
+                inner = cg_solve(A_in, r.astype(cur_dtype), options=opts)
         with phase("outer_residual"):
             # accumulate + true residual + stats: one program, one transfer
             x, r, stats_dev = _outer_update(A_hi, x, inner.x, b, u_true)

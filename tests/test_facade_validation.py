@@ -83,12 +83,14 @@ def test_bad_options_rejected_at_init(kwargs):
         DirichletSolver(nx=8, ny=8, **kwargs)
 
 
-def test_mesh_requires_stencil():
+def test_mesh_operator_validation():
     import jax
 
     from iterative_solvers_tpu.parallel import make_solver_mesh
 
     mesh = make_solver_mesh(devices=jax.devices())
-    for op in ("sparse", "pallas", "fused"):
+    # sparse/fused stay rejected; 'pallas' is the round-3 sharded fast path
+    for op in ("sparse", "fused"):
         with pytest.raises(ValueError):
             DirichletSolver(nx=8, ny=8, operator=op, mesh=mesh)
+    DirichletSolver(nx=8, ny=8, operator="pallas", mesh=mesh)  # now valid

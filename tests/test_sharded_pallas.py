@@ -109,3 +109,169 @@ def test_sharded_pallas_rejects_custom_domains():
     mesh = make_solver_mesh(8, (4, 2))
     with pytest.raises(ValueError, match="gamma/rect"):
         ShardedPallasStencilOperator.from_domain(dom, mesh)
+
+
+# --- sharded fused V-cycle (parallel/mg_sharded.py) -------------------------
+
+
+def _masked_noise(dom, seed=0):
+    rng = np.random.default_rng(seed)
+    r = rng.standard_normal(dom.grid_shape)
+    return np.where(np.asarray(dom.interior), r, 0).astype(np.float32)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1), (1, 8)])
+@pytest.mark.parametrize("shape", ["gamma", "rect"])
+def test_sharded_fused_vcycle_matches_jnp(mesh_shape, shape):
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+    from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+
+    dom = Domain2D(nx=64, ny=64, shape=shape)
+    mesh = make_solver_mesh(8, mesh_shape)
+    op = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=16)
+    M = ShardedFusedMultigrid.from_operator(op, dom, fuse_min_extent=33)
+    assert len(M.levels) >= 1  # the fused sharded leg is actually exercised
+    Mref = MultigridPreconditioner.from_domain(dom, fuse=False)
+    r = _masked_noise(dom)
+    z_ref = np.asarray(Mref(jnp.asarray(r)))
+    z_sh = np.asarray(op.crop(M(op.shard(r))))
+    scale = np.abs(z_ref).max()
+    np.testing.assert_allclose(z_sh / scale, z_ref / scale, atol=1e-5)
+
+
+def test_sharded_fused_vcycle_two_levels_and_symmetry():
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+    from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+
+    dom = Domain2D(nx=128, ny=128)
+    mesh = make_solver_mesh(4, (2, 2))
+    op = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=32)
+    M = ShardedFusedMultigrid.from_operator(op, dom, fuse_min_extent=33)
+    assert len(M.levels) == 2
+    Mref = MultigridPreconditioner.from_domain(dom, fuse=False)
+    r = _masked_noise(dom)
+    z_ref = np.asarray(Mref(jnp.asarray(r)))
+    z_sh = np.asarray(op.crop(M(op.shard(r))))
+    scale = np.abs(z_ref).max()
+    np.testing.assert_allclose(z_sh / scale, z_ref / scale, atol=1e-5)
+    # symmetry (PCG-safety): (u, Mv) == (v, Mu) to f32 round-off
+    u = op.shard(_masked_noise(dom, 1))
+    v = op.shard(_masked_noise(dom, 2))
+    d1 = float(jnp.sum(u * M(v)))
+    d2 = float(jnp.sum(v * M(u)))
+    assert abs(d1 - d2) / abs(d1) < 1e-5
+
+
+def test_sharded_fused_pcg_iteration_count():
+    """MG-PCG through the sharded fast path takes the same iteration path as
+    the single-chip jnp MG-PCG."""
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+    from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+
+    dom = Domain2D(nx=64, ny=64)
+    mesh = make_solver_mesh(8, (4, 2))
+    op = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=16)
+    M = ShardedFusedMultigrid.from_operator(op, dom, fuse_min_extent=33)
+    prob = PoissonProblem.manufactured(dom)
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-4, max_iterations=100)
+    res = cg_solve(
+        op,
+        op.shard(prob.rhs_field(jnp.float32)),
+        options=CGOptions(stop=stop, preconditioner=M),
+    )
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+
+    res1 = cg_solve(
+        StencilOperator.from_domain(dom),
+        prob.rhs_field(jnp.float32),
+        options=CGOptions(
+            stop=stop, preconditioner=MultigridPreconditioner.from_domain(dom, fuse=False)
+        ),
+    )
+    assert res.converged
+    assert abs(res.iterations - res1.iterations) <= 1
+    np.testing.assert_allclose(
+        np.asarray(op.crop(res.x)), np.asarray(res1.x), atol=2e-5
+    )
+
+
+def test_mesh_device_ir_sharded_fast_path():
+    """The one-dispatch device-side refinement loop over the mesh with the
+    sharded Pallas operator + sharded fused V-cycle (VERDICT r2 item 2)."""
+    from iterative_solvers_tpu.parallel.halo import ShardedStencilOperator
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+    from iterative_solvers_tpu.solvers.refine import device_refined_solve
+
+    dom = Domain2D(nx=64, ny=64)
+    mesh = make_solver_mesh(8, (4, 2))
+    prob = PoissonProblem.manufactured(dom)
+    pop = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=16)
+    M = ShardedFusedMultigrid.from_operator(pop, dom, fuse_min_extent=33)
+    assert len(M.levels) >= 1
+    A_hi = ShardedStencilOperator(
+        mesh=mesh,
+        coeffs=pop.coeffs,
+        grid_shape=pop.grid_shape,
+        padded_shape=pop.padded_shape,
+        mask_kind=pop.mask_mode,
+        dims=(dom.nx, dom.ny),
+    )
+    b64 = pop.shard(prob.rhs_field(jnp.float64))
+    res = device_refined_solve(
+        A_hi,
+        pop,
+        b64,
+        preconditioner=M,
+        stop=StopConfig(
+            eps_precision=-1.0,
+            eps_residual=-1.0,
+            eps_exact_error=-1.0,
+            eps_relative=1e-8,
+            max_iterations=10000,
+        ),
+    )
+    assert res.converged
+    assert res.residual_norm < 1e-8 * res.initial_residual_norm
+
+
+def test_facade_mesh_pallas_mg_and_mixed():
+    """DirichletSolver(mesh=..., operator='pallas') end-to-end."""
+    from iterative_solvers_tpu.api import DirichletSolver
+
+    mesh = make_solver_mesh(8)
+    s = DirichletSolver(
+        nx=64, ny=64, operator="pallas", preconditioner="mg", mesh=mesh,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=50),
+    )
+    res = s.solve(record_history=False)
+    assert res.converged and res.iterations <= 15
+
+    s1 = DirichletSolver(
+        nx=64, ny=64, preconditioner="mg",
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=50),
+    )
+    res1 = s1.solve(record_history=False)
+    np.testing.assert_allclose(res.solution, res1.solution, atol=1e-4)
+
+    s2 = DirichletSolver(
+        nx=64, ny=64, operator="pallas", preconditioner="mg",
+        precision="mixed", mesh=mesh,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=10000),
+    )
+    res2 = s2.solve(record_history=False)
+    assert res2.converged and res2.residual_norm < 1e-6
+
+
+def test_facade_mesh_pallas_validation():
+    from iterative_solvers_tpu.api import DirichletSolver
+    from iterative_solvers_tpu.core.domain import Domain2D as D2
+
+    mesh = make_solver_mesh(8)
+    with pytest.raises(ValueError, match="gamma/rect"):
+        DirichletSolver(
+            domain=D2(nx=16, ny=16, shape="custom", inside_fn=lambda x, y: x > 0),
+            operator="pallas",
+            mesh=mesh,
+        )
+    with pytest.raises(ValueError, match="requires operator="):
+        DirichletSolver(nx=16, ny=16, operator="fused", mesh=mesh)
