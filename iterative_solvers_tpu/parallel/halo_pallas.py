@@ -131,6 +131,10 @@ def _block_stencil_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hb, wb), x.dtype),
+        # the block kernel holds a couple more live (by, w) temporaries than
+        # the single-chip one (lane-iota selects, halo-source selects) — the
+        # default 16M scoped-vmem limit is ~1.5M short at by=64, w=8320
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
     )(offs, x, x, x, hup, hdn)
 
