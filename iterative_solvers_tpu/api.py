@@ -439,7 +439,8 @@ class DirichletSolver:
                 use_device_ir
                 and self.mesh is None  # the fused engine is single-device
                 and not isinstance(dom, Domain3D)
-                and getattr(dom, "shape", None) in ("gamma", "rect")
+                # gamma/rect use algebraic masks; custom domains stream an
+                # int8 mask operand through the same kernels
                 and self.preconditioner is not None
                 and self.preconditioner.split(":")[0] in ("mg", "multigrid")
             )

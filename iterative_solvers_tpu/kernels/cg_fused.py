@@ -86,13 +86,20 @@ def _stencil_regs(zk, up_row, dn_row, cd, cx, cy, wp, mask):
     return jnp.where(mask, y, 0.0)
 
 
-def _make_k1(nx, ny, cd, cx, cy, by, wp, hp, mask_mode):
-    """(r, r_up, r_dn, z, z_up, z_dn, beta)
-    -> (zk_halo_side, rz_part, azz_part, zmax_part). Read-only on fields."""
-    pred = _interior_pred(mask_mode, nx, ny)
+def _make_k1(nx, ny, cd, cx, cy, by, wp, hp, mask_mode, custom=False):
+    """(r, r_up, r_dn, z, z_up, z_dn[, mask8], beta)
+    -> (zk_halo_side, rz_part, azz_part, zmax_part). Read-only on fields.
+    ``custom``: the interior mask is an int8 operand instead of an algebraic
+    predicate; fields are pre-masked (solver invariants), so halo rows need
+    only panel-id validity."""
+    pred = None if custom else _interior_pred(mask_mode, nx, ny)
+    nb = hp // by
 
-    def kernel(r_ref, rup_ref, rdn_ref, z_ref, zup_ref, zdn_ref, s_ref,
-               side_ref, rz_ref, azz_ref, zmax_ref):
+    def kernel(r_ref, rup_ref, rdn_ref, z_ref, zup_ref, zdn_ref, *rest):
+        if custom:
+            m_ref, s_ref, side_ref, rz_ref, azz_ref, zmax_ref = rest
+        else:
+            s_ref, side_ref, rz_ref, azz_ref, zmax_ref = rest
         i = pl.program_id(0)
         row0 = i * by
         beta = s_ref[0, 0]
@@ -103,10 +110,15 @@ def _make_k1(nx, ny, cd, cx, cy, by, wp, hp, mask_mode):
         # clamped garbage rows at the grid edges).
         up_row = rup_ref[-1:, :] + beta * zup_ref[-1:, :]
         dn_row = rdn_ref[:1, :] + beta * zdn_ref[:1, :]
-        up_row = jnp.where(_mask_at(pred, row0 - 1, (1, wp)), up_row, 0.0)
-        dn_row = jnp.where(_mask_at(pred, row0 + by, (1, wp)), dn_row, 0.0)
-        az = _stencil_regs(zk, up_row, dn_row, cd, cx, cy, wp,
-                           _mask_at(pred, row0, (by, wp)))
+        if custom:
+            up_row = jnp.where(i > 0, up_row, 0.0)
+            dn_row = jnp.where(i < nb - 1, dn_row, 0.0)
+            mask = m_ref[...] != 0
+        else:
+            up_row = jnp.where(_mask_at(pred, row0 - 1, (1, wp)), up_row, 0.0)
+            dn_row = jnp.where(_mask_at(pred, row0 + by, (1, wp)), dn_row, 0.0)
+            mask = _mask_at(pred, row0, (by, wp))
+        az = _stencil_regs(zk, up_row, dn_row, cd, cx, cy, wp, mask)
         # Stash this panel's z_k halo rows for K2 (rows 0/1 of an 8-row tile).
         side_ref[...] = jnp.concatenate(
             [up_row, dn_row, jnp.zeros((6, wp), az.dtype)], axis=0
@@ -118,14 +130,17 @@ def _make_k1(nx, ny, cd, cx, cy, by, wp, hp, mask_mode):
     return kernel
 
 
-def _make_k2(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u):
-    """(x, r, z_prev, side[, u], scalars) -> (x', r', z_k, r2_p, rmax_p[, err_p])
+def _make_k2(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u, custom=False):
+    """(x, r, z_prev, side[, mask8][, u], scalars)
+    -> (x', r', z_k, r2_p, rmax_p[, err_p])
     with x/r/z written in place (aliases {0:0, 1:1, 2:2}); Az recomputed in
     registers from z_k and the side halo rows — every field read is
     block-local, which is what makes the in-place aliasing race-free."""
-    pred = _interior_pred(mask_mode, nx, ny)
+    pred = None if custom else _interior_pred(mask_mode, nx, ny)
 
     def kernel(x_ref, r_ref, z_ref, side_ref, *rest):
+        if custom:
+            m_ref, rest = rest[0], rest[1:]
         if has_u:
             u_ref, s_ref, xo_ref, ro_ref, zo_ref, r2_ref, rmax_ref, err_ref = rest
         else:
@@ -136,12 +151,13 @@ def _make_k2(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u):
         beta = s_ref[0, 1]
         r = r_ref[...]
         zk = r + beta * z_ref[...]
+        mask = (m_ref[...] != 0) if custom else _mask_at(pred, row0, (by, wp))
         az = _stencil_regs(
             zk,
             side_ref[0, 0:1, :],
             side_ref[0, 1:2, :],
             cd, cx, cy, wp,
-            _mask_at(pred, row0, (by, wp)),
+            mask,
         )
         xn = x_ref[...] + alpha * zk
         rn = r - alpha * az
@@ -158,15 +174,18 @@ def _make_k2(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u):
     return kernel
 
 
-def _make_k2_pcg(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u):
-    """(x, r, z_prev, w, side[, u], scalars) -> (x', r', z_k, r2_p, rmax_p[, err_p])
+def _make_k2_pcg(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u, custom=False):
+    """(x, r, z_prev, w, side[, mask8][, u], scalars)
+    -> (x', r', z_k, r2_p, rmax_p[, err_p])
     — the PCG variant of K2: the direction is ``z_k = w + β·z_prev`` where
     ``w = M r`` was staged at the jit level (the V-cycle runs between K2 and
     the next K1). x/r/z still write in place (aliases {0:0, 1:1, 2:2}); w is
     a read-only fourth stream."""
-    pred = _interior_pred(mask_mode, nx, ny)
+    pred = None if custom else _interior_pred(mask_mode, nx, ny)
 
     def kernel(x_ref, r_ref, z_ref, w_ref, side_ref, *rest):
+        if custom:
+            m_ref, rest = rest[0], rest[1:]
         if has_u:
             u_ref, s_ref, xo_ref, ro_ref, zo_ref, r2_ref, rmax_ref, err_ref = rest
         else:
@@ -176,12 +195,13 @@ def _make_k2_pcg(nx, ny, cd, cx, cy, by, wp, mask_mode, has_u):
         alpha = s_ref[0, 0]
         beta = s_ref[0, 1]
         zk = w_ref[...] + beta * z_ref[...]
+        mask = (m_ref[...] != 0) if custom else _mask_at(pred, row0, (by, wp))
         az = _stencil_regs(
             zk,
             side_ref[0, 0:1, :],
             side_ref[0, 1:2, :],
             cd, cx, cy, wp,
-            _mask_at(pred, row0, (by, wp)),
+            mask,
         )
         xn = x_ref[...] + alpha * zk
         rn = r_ref[...] - alpha * az
@@ -229,13 +249,23 @@ class FusedCGEngine:
         main, up, dn, scal, part = _specs(by, wp, hp)
         g = hp // by
         dtype = r.dtype
-        kernel = _make_k1(op.nx, op.ny, cd, cx, cy, by, wp, hp, op.mask_mode)
+        custom = op.mask8 is not None
+        kernel = _make_k1(
+            op.nx, op.ny, cd, cx, cy, by, wp, hp, op.mask_mode, custom
+        )
         scal_in = jnp.full((1, LANES), beta, dtype)
         side_spec = pl.BlockSpec((1, 8, wp), lambda i: (i, 0, 0))
+        in_specs = [main, up, dn, main, up, dn]
+        args = [r, r, r, z, z, z]
+        if custom:
+            in_specs.append(main)
+            args.append(op.mask8)
+        in_specs.append(scal)
+        args.append(scal_in)
         return pl.pallas_call(
             kernel,
             grid=(g,),
-            in_specs=[main, up, dn, main, up, dn, scal],
+            in_specs=in_specs,
             out_specs=(side_spec, part, part, part),
             out_shape=(
                 jax.ShapeDtypeStruct((g, 8, wp), dtype),
@@ -245,7 +275,7 @@ class FusedCGEngine:
             ),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
             interpret=op.interpret,
-        )(r, r, r, z, z, z, scal_in)
+        )(*args)
 
     def _call_k2(self, x, r, z, side, u, alpha, beta):
         with jax.enable_x64(False):
@@ -260,7 +290,10 @@ class FusedCGEngine:
         g = hp // by
         dtype = r.dtype
         has_u = u is not None
-        kernel = _make_k2(op.nx, op.ny, cd, cx, cy, by, wp, op.mask_mode, has_u)
+        custom = op.mask8 is not None
+        kernel = _make_k2(
+            op.nx, op.ny, cd, cx, cy, by, wp, op.mask_mode, has_u, custom
+        )
         scal_in = jnp.zeros((1, LANES), dtype).at[0, 0].set(alpha).at[0, 1].set(beta)
         side_spec = pl.BlockSpec((1, 8, wp), lambda i: (i, 0, 0))
         out_shape = [
@@ -273,6 +306,9 @@ class FusedCGEngine:
         out_specs = [main, main, main, part, part]
         in_specs = [main, main, main, side_spec]
         args = [x, r, z, side]
+        if custom:
+            in_specs.append(main)
+            args.append(op.mask8)
         if has_u:
             in_specs.append(main)
             args.append(u)
@@ -304,7 +340,10 @@ class FusedCGEngine:
         g = hp // by
         dtype = r.dtype
         has_u = u is not None
-        kernel = _make_k2_pcg(op.nx, op.ny, cd, cx, cy, by, wp, op.mask_mode, has_u)
+        custom = op.mask8 is not None
+        kernel = _make_k2_pcg(
+            op.nx, op.ny, cd, cx, cy, by, wp, op.mask_mode, has_u, custom
+        )
         scal_in = jnp.zeros((1, LANES), dtype).at[0, 0].set(alpha).at[0, 1].set(beta)
         side_spec = pl.BlockSpec((1, 8, wp), lambda i: (i, 0, 0))
         out_shape = [
@@ -317,6 +356,9 @@ class FusedCGEngine:
         out_specs = [main, main, main, part, part]
         in_specs = [main, main, main, main, side_spec]
         args = [x, r, z, w, side]
+        if custom:
+            in_specs.append(main)
+            args.append(op.mask8)
         if has_u:
             in_specs.append(main)
             args.append(u)

@@ -94,6 +94,71 @@ def _make_k_down(nx, ny, cd, cx, cy, cs, by, wp, mask_mode):
 LANES = 128
 
 
+def _make_k_down_custom(cd, cx, cy, cs, by, wp, nb):
+    """Custom-domain K_down: the interior mask arrives as an int8 operand
+    (plus its 32-row halo group for the R row above the panel). The level
+    RHS is pre-masked (it is a masked restriction), so halo b rows need only
+    panel-id validity; grid-edge rows are never interior."""
+
+    def kernel(b_ref, up_ref, dn_ref, m_ref, mup_ref, rr_ref):
+        i = pl.program_id(0)
+        m = m_ref[...] != 0
+        bm = jnp.where(m, b_ref[...], 0.0)
+        up2 = jnp.where(i > 0, up_ref[-2:, :], 0.0)
+        dn1 = jnp.where(i < nb - 1, dn_ref[:1, :], 0.0)
+        ext_b = jnp.concatenate([up2, bm, dn1], axis=0)
+        x_ext = cs * ext_b
+        mrow_above = (i > 0) & (mup_ref[-1:, :] != 0)
+        mr = jnp.concatenate([mrow_above, m], axis=0)
+        R = _stencil_rows(x_ext, ext_b[1 : by + 2], mr, cd, cx, cy, wp)
+        A = R[:by].reshape(by // 2, 2, wp)
+        below = A[:, 0, :]
+        center = A[:, 1, :]
+        upper = jnp.concatenate([A[1:, 0, :], R[by : by + 1]], axis=0)
+        rr_ref[...] = 0.25 * below + 0.5 * center + 0.25 * upper
+
+    return kernel
+
+
+def _make_k_up_custom(cd, cx, cy, cs, by, wp, ch, nb, with_dot=False):
+    """Custom-domain K_up: int8 mask operand + 32-row halo groups for the
+    corrected iterate's halo rows; coarse-row validity stays structural."""
+
+    def rows_valid(g0, rows):
+        ri = lax.broadcasted_iota(jnp.int32, (rows, wp), 0) + g0
+        return (ri >= 0) & (ri < ch)
+
+    def kernel(b_ref, bup_ref, bdn_ref, ec_ref, ecup_ref, ecdn_ref,
+               m_ref, mup_ref, mdn_ref, o_ref, *dot_refs):
+        i = pl.program_id(0)
+        half = by // 2
+        g0 = i * half
+        m = m_ref[...] != 0
+        bm = jnp.where(m, b_ref[...], 0.0)
+        x = cs * bm
+        ec_m = jnp.where(rows_valid(g0, half), ec_ref[...], 0.0)
+        ec_a = jnp.where(rows_valid(g0 - 1, 1), ecup_ref[-1:, :], 0.0)
+        ec_b = jnp.where(rows_valid(g0 + half, 1), ecdn_ref[:1, :], 0.0)
+        ec_nxt = jnp.concatenate([ec_m[1:], ec_b], axis=0)
+        odd = 0.5 * (ec_m + ec_nxt)
+        p = jnp.stack([ec_m, odd], axis=1).reshape(by, wp)
+        p_above = 0.5 * (ec_a + ec_m[:1])
+        p_below = ec_b
+        xc = x + jnp.where(m, p, 0.0)
+        ma = (i > 0) & (mup_ref[-1:, :] != 0)
+        mb = (i < nb - 1) & (mdn_ref[:1, :] != 0)
+        xa = jnp.where(ma, cs * bup_ref[-1:, :] + p_above, 0.0)
+        xb = jnp.where(mb, cs * bdn_ref[:1, :] + p_below, 0.0)
+        xc_ext = jnp.concatenate([xa, xc, xb], axis=0)
+        R = _stencil_rows(xc_ext, bm, m, cd, cx, cy, wp)
+        out = jnp.where(m, xc + cs * R, 0.0)
+        o_ref[...] = out
+        if with_dot:
+            dot_refs[0][...] = jnp.full((1, 8, LANES), jnp.sum(bm * out), out.dtype)
+
+    return kernel
+
+
 def _make_k_up(nx, ny, cd, cx, cy, cs, by, wp, mask_mode, ch, with_dot=False):
     pred = _interior_pred(mask_mode, nx, ny)
 
@@ -159,8 +224,9 @@ class FusedLevelKernels:
     cs: float  # ω / diag
     mask_mode: str
     padded_shape: Tuple[int, int]  # (hp, wp), hp % by == 0, wp % 128 == 0
-    block_rows: int  # multiple of 16
+    block_rows: int  # multiple of 16 (32 for custom: int8 mask tiling)
     interpret: bool
+    mask8: Optional[jnp.ndarray] = None  # custom domains: padded int8 interior
 
     def down(self, b: jnp.ndarray) -> jnp.ndarray:
         """Rows-restricted residual of the pre-smoothed iterate, from the
@@ -175,24 +241,39 @@ class FusedLevelKernels:
         hp, wp = self.padded_shape
         by = self.block_rows
         cd, cx, cy = self.coeffs
-        kernel = _make_k_down(self.nx, self.ny, cd, cx, cy, self.cs, by, wp, self.mask_mode)
         g = hp // by
         gy = hp // 8
+        in_specs = [
+            pl.BlockSpec((by, wp), lambda i: (i, 0)),
+            pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * (by // 8) - 1, 0), 0)),
+            pl.BlockSpec(
+                (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, gy - 1), 0)
+            ),
+        ]
+        args = [b, b, b]
+        if self.mask8 is not None:
+            kernel = _make_k_down_custom(cd, cx, cy, self.cs, by, wp, g)
+            g32 = hp // 32
+            in_specs += [
+                pl.BlockSpec((by, wp), lambda i: (i, 0)),
+                pl.BlockSpec(
+                    (32, wp), lambda i: (jnp.maximum(i * (by // 32) - 1, 0), 0)
+                ),
+            ]
+            args += [self.mask8, self.mask8]
+        else:
+            kernel = _make_k_down(
+                self.nx, self.ny, cd, cx, cy, self.cs, by, wp, self.mask_mode
+            )
         return pl.pallas_call(
             kernel,
             grid=(g,),
-            in_specs=[
-                pl.BlockSpec((by, wp), lambda i: (i, 0)),
-                pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * (by // 8) - 1, 0), 0)),
-                pl.BlockSpec(
-                    (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, gy - 1), 0)
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((by // 2, wp), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((hp // 2, wp), b.dtype),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
             interpret=self.interpret,
-        )(b, b, b)
+        )(*args)
 
     def up(self, b: jnp.ndarray, ec_lanes: jnp.ndarray, with_dot: bool = False):
         """Post-smoothed corrected iterate; ``ec_lanes`` is the lane-prolonged
@@ -207,14 +288,42 @@ class FusedLevelKernels:
         by = self.block_rows
         cd, cx, cy = self.coeffs
         ch = self.ny // 2 + 1  # coarse row count
-        kernel = _make_k_up(
-            self.nx, self.ny, cd, cx, cy, self.cs, by, wp, self.mask_mode, ch,
-            with_dot,
-        )
         g = hp // by
         gy = hp // 8
         gc = (hp // 2) // 8
         half8 = (by // 2) // 8
+        in_specs = [
+            pl.BlockSpec((by, wp), lambda i: (i, 0)),
+            pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * (by // 8) - 1, 0), 0)),
+            pl.BlockSpec(
+                (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, gy - 1), 0)
+            ),
+            pl.BlockSpec((by // 2, wp), lambda i: (i, 0)),
+            pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * half8 - 1, 0), 0)),
+            pl.BlockSpec(
+                (8, wp), lambda i: (jnp.minimum((i + 1) * half8, gc - 1), 0)
+            ),
+        ]
+        args = [b, b, b, ec_lanes, ec_lanes, ec_lanes]
+        if self.mask8 is not None:
+            kernel = _make_k_up_custom(cd, cx, cy, self.cs, by, wp, ch, g, with_dot)
+            g32 = hp // 32
+            in_specs += [
+                pl.BlockSpec((by, wp), lambda i: (i, 0)),
+                pl.BlockSpec(
+                    (32, wp), lambda i: (jnp.maximum(i * (by // 32) - 1, 0), 0)
+                ),
+                pl.BlockSpec(
+                    (32, wp),
+                    lambda i: (jnp.minimum(i * (by // 32) + by // 32, g32 - 1), 0),
+                ),
+            ]
+            args += [self.mask8, self.mask8, self.mask8]
+        else:
+            kernel = _make_k_up(
+                self.nx, self.ny, cd, cx, cy, self.cs, by, wp, self.mask_mode,
+                ch, with_dot,
+            )
         out_specs = [pl.BlockSpec((by, wp), lambda i: (i, 0))]
         out_shape = [jax.ShapeDtypeStruct((hp, wp), b.dtype)]
         if with_dot:
@@ -223,23 +332,12 @@ class FusedLevelKernels:
         res = pl.pallas_call(
             kernel,
             grid=(g,),
-            in_specs=[
-                pl.BlockSpec((by, wp), lambda i: (i, 0)),
-                pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * (by // 8) - 1, 0), 0)),
-                pl.BlockSpec(
-                    (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, gy - 1), 0)
-                ),
-                pl.BlockSpec((by // 2, wp), lambda i: (i, 0)),
-                pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * half8 - 1, 0), 0)),
-                pl.BlockSpec(
-                    (8, wp), lambda i: (jnp.minimum((i + 1) * half8, gc - 1), 0)
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=tuple(out_specs) if with_dot else out_specs[0],
             out_shape=tuple(out_shape) if with_dot else out_shape[0],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
             interpret=self.interpret,
-        )(b, b, b, ec_lanes, ec_lanes, ec_lanes)
+        )(*args)
         if with_dot:
             out, dot_p = res
             return out, jnp.sum(dot_p[:, 0, 0])

@@ -57,6 +57,70 @@ def _interior_pred(mask_mode: str, nx: int, ny: int):
     return pred
 
 
+def _make_kernel_custom(cd: float, cx: float, cy: float, by: int, w: int,
+                        nb: int):
+    """Custom-domain variant: the interior mask is not algebraic, so it
+    arrives as one packed int8 operand (~1 B/node extra read — the VERDICT
+    r2 item 4 'bitmask operand' design). Contract: the INPUT field is
+    already masked (all solver fields are — they are linear combinations of
+    masked fields), so only the OUTPUT needs masking and the in-block halo
+    rows need no mask at all; the off-grid halo rows of the first/last panel
+    are zeroed by panel-id checks (grid edge rows are never interior for any
+    domain — Domain2D.boundary includes the rectangle edge)."""
+
+    def kernel(x_ref, up_ref, dn_ref, m_ref, o_ref):
+        i = pl.program_id(0)
+        m = m_ref[...] != 0
+        x = jnp.where(m, x_ref[...], 0.0)  # panel masked; halo rows trusted
+        up_row = jnp.where(i > 0, up_ref[-1:, :], 0.0)
+        dn_row = jnp.where(i < nb - 1, dn_ref[:1, :], 0.0)
+        up = jnp.concatenate([up_row, x[:-1, :]], axis=0)
+        dn = jnp.concatenate([x[1:, :], dn_row], axis=0)
+        lf = pltpu.roll(x, np.int32(1), 1)  # wrap lane = masked grid edge col
+        rt = pltpu.roll(x, np.int32(w - 1), 1)
+        y = cd * x + cx * (lf + rt) + cy * (up + dn)
+        o_ref[...] = jnp.where(m, y, 0.0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cd", "cx", "cy", "block_rows", "interpret"))
+def pallas_stencil_apply_custom(
+    x: jnp.ndarray,
+    mask8: jnp.ndarray,  # int8 {0,1}, same padded shape
+    *,
+    cd: float,
+    cx: float,
+    cy: float,
+    block_rows: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = A @ x for custom-mask domains; ``x`` must be pre-masked."""
+    hp, wp = x.shape
+    by = block_rows
+    assert hp % by == 0 and wp % 128 == 0 and by % 32 == 0, (hp, wp, by)
+    grid = (hp // by,)
+    kernel = _make_kernel_custom(cd, cx, cy, by, wp, hp // by)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((by, wp), lambda i: (i, 0)),
+            pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * (by // 8) - 1, 0), 0)),
+            pl.BlockSpec(
+                (8, wp),
+                lambda i: (jnp.minimum(i * (by // 8) + by // 8, hp // 8 - 1), 0),
+            ),
+            # int8 stream: (32, 128) tiling => by % 32 == 0
+            pl.BlockSpec((by, wp), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((by, wp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(x, x, x, mask8)
+
+
 def _make_kernel(nx: int, ny: int, cd: float, cx: float, cy: float,
                  by: int, w: int, mask_mode: str):
     pred = _interior_pred(mask_mode, nx, ny)
@@ -153,21 +217,33 @@ class PallasStencilOperator:
     block_rows: int
     mask_mode: str
     interpret: bool
+    # custom domains only: padded int8 interior mask streamed as a kernel
+    # operand (gamma/rect masks are algebraic and cost zero HBM traffic)
+    mask8: Optional[jnp.ndarray] = None
 
     @staticmethod
     def from_domain(domain, dtype=None, block_rows: Optional[int] = None,
                     interpret: Optional[bool] = None) -> "PallasStencilOperator":
-        if getattr(domain, "shape", None) not in ("gamma", "rect"):
+        if isinstance(getattr(domain, "grid_shape", ()), tuple) and len(
+            domain.grid_shape
+        ) != 2:
             raise ValueError(
-                "PallasStencilOperator supports 2D gamma/rect domains "
-                "(algebraic masks); use StencilOperator for custom masks and 3D"
+                "PallasStencilOperator is 2D; use Pallas3DStencilOperator for 3D"
             )
+        custom = getattr(domain, "shape", None) not in ("gamma", "rect")
         h, w = domain.grid_shape
         wp = _round_up(w, 128)
         by = block_rows or _auto_block_rows(wp)
+        if custom:
+            by = max(by, 32)  # int8 mask stream: (32, 128) tiling
         hp = _round_up(h, by)
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
+        mask8 = None
+        if custom:
+            m = np.zeros((hp, wp), np.int8)
+            m[:h, :w] = np.asarray(domain.interior, np.int8)
+            mask8 = jnp.asarray(m)
         return PallasStencilOperator(
             nx=domain.nx,
             ny=domain.ny,
@@ -175,8 +251,9 @@ class PallasStencilOperator:
             grid_shape=(h, w),
             padded_shape=(hp, wp),
             block_rows=by,
-            mask_mode=domain.shape,
+            mask_mode="custom" if custom else domain.shape,
             interpret=interpret,
+            mask8=mask8,
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -190,6 +267,16 @@ class PallasStencilOperator:
 
     def _apply(self, x: jnp.ndarray) -> jnp.ndarray:
         cd, cx, cy = self.coeffs
+        if self.mask8 is not None:
+            return pallas_stencil_apply_custom(
+                x,
+                self.mask8,
+                cd=cd,
+                cx=cx,
+                cy=cy,
+                block_rows=self.block_rows,
+                interpret=self.interpret,
+            )
         return pallas_stencil_apply(
             x,
             nx=self.nx,
@@ -218,6 +305,8 @@ class PallasStencilOperator:
         return self.padded_shape
 
     def interior_padded(self) -> np.ndarray:
+        if self.mask8 is not None:
+            return np.asarray(self.mask8, bool)
         ri, ci = np.mgrid[0 : self.padded_shape[0], 0 : self.padded_shape[1]]
         return np.asarray(_interior_pred(self.mask_mode, self.nx, self.ny)(ri, ci))
 

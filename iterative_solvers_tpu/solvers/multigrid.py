@@ -339,23 +339,28 @@ class MultigridPreconditioner:
             if isinstance(d, Domain3D):
                 # 3D z-leg kernels: worth it once a volume sweep dominates
                 return d.ny + 1 >= fuse_min_extent // 4
-            return (
-                getattr(d, "shape", None) in ("gamma", "rect")
-                and d.ny + 1 >= fuse_min_extent
-            )
+            # custom masks fuse too (int8 mask-operand kernels)
+            return d.ny + 1 >= fuse_min_extent
 
         def make_fused(idx: int) -> "_FusedLevel":
             from iterative_solvers_tpu.kernels.mg_fused import FusedLevelKernels
 
             d, c = domains[idx], domains[idx + 1]
             h, w = d.grid_shape
-            by = 64 if h >= 1024 else (32 if h >= 256 else 16)
+            custom = d.shape == "custom"
+            by_floor = 32 if custom else 16  # int8 mask stream: (32,128) tiles
+            by = 64 if h >= 1024 else (32 if h >= 256 else by_floor)
             wp = -(-w // 128) * 128
             # the fused kernels hold ~8 (by, wp) f32 buffers live in VMEM
             # (pipeline double-buffers + register temporaries)
-            while by > 16 and 32 * by * wp > 24 * 2**20:
+            while by > by_floor and 32 * by * wp > 24 * 2**20:
                 by //= 2
             hp = -(-h // by) * by
+            mask8 = None
+            if custom:
+                m8 = np.zeros((hp, wp), np.int8)
+                m8[:h, :w] = np.asarray(d.interior, np.int8)
+                mask8 = jnp.asarray(m8)
             k = FusedLevelKernels(
                 nx=d.nx,
                 ny=d.ny,
@@ -365,6 +370,7 @@ class MultigridPreconditioner:
                 padded_shape=(hp, wp),
                 block_rows=by,
                 interpret=interpret,
+                mask8=mask8,
             )
             return _FusedLevel(
                 kernels=k,

@@ -55,7 +55,10 @@ def test_pallas_facade_solve():
     assert res_p.iterations == res_s.iterations
 
 
-def test_pallas_rejects_custom_domains():
+def test_pallas_accepts_custom_domains():
+    # round 3: custom masks get the int8 mask-operand kernel instead of a
+    # ValueError (see tests/test_custom_fast_path.py for equivalence)
     dom = Domain2D(nx=8, ny=8, shape="custom", inside_fn=lambda ix, iy: ix + iy < 12)
-    with pytest.raises(ValueError):
-        PallasStencilOperator.from_domain(dom)
+    op = PallasStencilOperator.from_domain(dom)
+    assert op.mask_mode == "custom" and op.mask8 is not None
+    assert op.block_rows % 32 == 0  # int8 stream tiling

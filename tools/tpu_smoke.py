@@ -98,6 +98,47 @@ def run_suite(x64: bool, results: dict) -> None:
     M3 = MultigridPreconditioner.from_domain(dom3)
     _check(f"mg_fused3d[{tag}]", lambda: jnp.sum(jax.jit(M3)(b3)), results)
 
+    # custom-mask (int8 mask-operand) kernels: stencil, fused engine, V-cycle
+    import numpy as np
+
+    def _disk(ix, iy):
+        n = 1024
+        return (ix - n / 2) ** 2 + (iy - n / 2) ** 2 <= (0.45 * n) ** 2
+
+    domc = Domain2D(nx=1024, ny=1024, shape="custom", inside_fn=_disk)
+    probc = PoissonProblem.manufactured(domc)
+    opc = PallasStencilOperator.from_domain(domc, interpret=False)
+    bc = probc.rhs_field(jnp.float32)
+    _check(f"stencil2d_custom[{tag}]", lambda: jnp.sum(opc(opc.pad(bc))), results)
+    Mc = MultigridPreconditioner.from_domain(domc, fuse=True, interpret=False)
+    _check(f"mg_fused_custom[{tag}]", lambda: jnp.sum(jax.jit(Mc)(bc)), results)
+    Mcp = PaddedPreconditioner(inner=Mc, padded_op=opc)
+    _check(
+        f"pcg_fused_custom[{tag}]",
+        lambda: fused_cg_solve(
+            opc, bc, options=CGOptions(stop=stop1, preconditioner=Mcp)
+        ).residual_norm,
+        results,
+    )
+
+    # sharded fast path on a 1x1 mesh (real Mosaic lowering of the block
+    # kernels + ppermute plumbing, single chip)
+    from iterative_solvers_tpu.parallel import make_solver_mesh
+    from iterative_solvers_tpu.parallel.halo_pallas import (
+        ShardedPallasStencilOperator,
+    )
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+
+    mesh1 = make_solver_mesh(1, (1, 1), devices=jax.devices()[:1])
+    ops = ShardedPallasStencilOperator.from_domain(dom, mesh1, interpret=False)
+    _check(f"sharded_stencil[{tag}]", lambda: jnp.sum(ops(ops.shard(b))), results)
+    Ms = ShardedFusedMultigrid.from_operator(ops, dom, interpret=False)
+    _check(
+        f"sharded_mg_fused[{tag}]",
+        lambda: jnp.sum(jax.jit(Ms)(ops.shard(b))),
+        results,
+    )
+
 
 def main() -> int:
     import jax
