@@ -664,6 +664,82 @@ def main() -> None:
     )
 
 
+def _bench_sharded_fast_path(n: int) -> None:
+    """Per-chip throughput of the round-3 sharded fast path vs the
+    single-chip kernels, on a 1x1 mesh over the available chip (ppermutes
+    become self-loops; the halo plumbing cost is fully included). The
+    BASELINE bar '>= 70% of roofline ... per chip on v5p-16' is per chip
+    *while sharded* — this mode pins that per-chip factor with 1 real chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterative_solvers_tpu.core.domain import Domain2D
+    from iterative_solvers_tpu.parallel import make_solver_mesh
+    from iterative_solvers_tpu.parallel.halo_pallas import (
+        ShardedPallasStencilOperator,
+    )
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+    from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+
+    dom = Domain2D(nx=n, ny=n)
+    interpret = jax.default_backend() == "cpu"
+
+    def timeit(chain, x):
+        float(chain(x, jnp.asarray(2)))  # compile + warm
+
+        def run(k):
+            t0 = time.perf_counter()
+            float(chain(x, jnp.asarray(k)))
+            return time.perf_counter() - t0
+
+        per = max(run(8) / 8, 1e-7)
+        k_lo = max(8, int(0.2 / per))
+        k_hi = 4 * k_lo
+        t_lo = min(run(k_lo) for _ in range(3))
+        t_hi = min(run(k_hi) for _ in range(3))
+        return (t_hi - t_lo) / (k_hi - k_lo)
+
+    M1 = MultigridPreconditioner.from_domain(dom, interpret=interpret)
+
+    @jax.jit
+    def c_single(a, k):
+        return jnp.sum(jax.lax.fori_loop(0, k, lambda _, v: M1(v) * 1e-9, a))
+
+    lev0 = M1.levels[0]
+    shape1 = (
+        lev0.kernels.padded_shape if hasattr(lev0, "kernels") else lev0.interior.shape
+    )
+    t_single = timeit(c_single, jnp.ones(shape1, jnp.float32))
+
+    mesh = make_solver_mesh(1, (1, 1), devices=jax.devices()[:1])
+    op = ShardedPallasStencilOperator.from_domain(dom, mesh, interpret=interpret)
+    M2 = ShardedFusedMultigrid.from_operator(op, dom, interpret=interpret)
+
+    @jax.jit
+    def c_shard(a, k):
+        return jnp.sum(jax.lax.fori_loop(0, k, lambda _, v: M2(v) * 1e-9, a))
+
+    t_shard = timeit(c_shard, jnp.ones(op.padded_shape, jnp.float32))
+    ratio = t_single / t_shard
+    print(
+        f"bench shard: n={n} fused V-cycle single-chip {t_single*1e3:.3f} ms, "
+        f"sharded(1x1 mesh, {len(M2.levels)} fused levels) {t_shard*1e3:.3f} ms, "
+        f"per-chip ratio {ratio:.2f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"sharded_vcycle_per_chip_ms_{n}x{n}",
+                "value": t_shard * 1e3,
+                "unit": "ms",
+                # target: sharded per-chip >= 90% of single-chip throughput
+                "vs_baseline": ratio / 0.9,
+            }
+        )
+    )
+
+
 def _run_mode() -> None:
     import jax
 
@@ -699,6 +775,9 @@ def _run_mode() -> None:
         return
     if mode == "scale":
         _bench_scaling()
+        return
+    if mode == "shard":
+        _bench_sharded_fast_path(n if on_tpu else 512)
         return
 
     dom = Domain2D(nx=n, ny=n)

@@ -94,6 +94,18 @@ def _make_k_down(nx, ny, cd, cx, cy, cs, by, wp, mask_mode):
 LANES = 128
 
 
+def _stencil_rows_fmask(xe, be, mr_f, cd, cx, cy, wp):
+    """:func:`_stencil_rows` with a FLOAT {0,1} mask (multiplicative) — the
+    custom-mask kernels avoid narrow i1 vectors entirely."""
+    xc = xe[1:-1]
+    xu = xe[:-2]
+    xd = xe[2:]
+    ax = cd * xc + cx * (
+        pltpu.roll(xc, np.int32(1), 1) + pltpu.roll(xc, np.int32(wp - 1), 1)
+    ) + cy * (xu + xd)
+    return (be - ax) * mr_f
+
+
 def _make_k_down_custom(cd, cx, cy, cs, by, wp, nb):
     """Custom-domain K_down: the interior mask arrives as an int8 operand
     (plus its 32-row halo group for the R row above the panel). The level
@@ -102,15 +114,20 @@ def _make_k_down_custom(cd, cx, cy, cs, by, wp, nb):
 
     def kernel(b_ref, up_ref, dn_ref, m_ref, mup_ref, rr_ref):
         i = pl.program_id(0)
-        m = m_ref[...] != 0
-        bm = jnp.where(m, b_ref[...], 0.0)
+        # Masks as f32 multiplies: Mosaic cannot relayout 1-row i1 slices of
+        # a (32, w) i8 tile ("Invalid relayout ... vector<1xWxi1>", measured
+        # on v5e) — convert the whole block to f32 in registers, slice after.
+        m_f = m_ref[...].astype(b_ref.dtype)
+        bm = b_ref[...] * m_f
         up2 = jnp.where(i > 0, up_ref[-2:, :], 0.0)
         dn1 = jnp.where(i < nb - 1, dn_ref[:1, :], 0.0)
         ext_b = jnp.concatenate([up2, bm, dn1], axis=0)
         x_ext = cs * ext_b
-        mrow_above = (i > 0) & (mup_ref[-1:, :] != 0)
-        mr = jnp.concatenate([mrow_above, m], axis=0)
-        R = _stencil_rows(x_ext, ext_b[1 : by + 2], mr, cd, cx, cy, wp)
+        mrow_above = jnp.where(
+            i > 0, mup_ref[...].astype(b_ref.dtype)[-1:, :], 0.0
+        )
+        mr_f = jnp.concatenate([mrow_above, m_f], axis=0)
+        R = _stencil_rows_fmask(x_ext, ext_b[1 : by + 2], mr_f, cd, cx, cy, wp)
         A = R[:by].reshape(by // 2, 2, wp)
         below = A[:, 0, :]
         center = A[:, 1, :]
@@ -133,8 +150,10 @@ def _make_k_up_custom(cd, cx, cy, cs, by, wp, ch, nb, with_dot=False):
         i = pl.program_id(0)
         half = by // 2
         g0 = i * half
-        m = m_ref[...] != 0
-        bm = jnp.where(m, b_ref[...], 0.0)
+        # f32 multiplicative masks throughout (1-row i1 slices of i8 tiles
+        # do not relayout on v5e — see _make_k_down_custom)
+        m_f = m_ref[...].astype(b_ref.dtype)
+        bm = b_ref[...] * m_f
         x = cs * bm
         ec_m = jnp.where(rows_valid(g0, half), ec_ref[...], 0.0)
         ec_a = jnp.where(rows_valid(g0 - 1, 1), ecup_ref[-1:, :], 0.0)
@@ -144,14 +163,16 @@ def _make_k_up_custom(cd, cx, cy, cs, by, wp, ch, nb, with_dot=False):
         p = jnp.stack([ec_m, odd], axis=1).reshape(by, wp)
         p_above = 0.5 * (ec_a + ec_m[:1])
         p_below = ec_b
-        xc = x + jnp.where(m, p, 0.0)
-        ma = (i > 0) & (mup_ref[-1:, :] != 0)
-        mb = (i < nb - 1) & (mdn_ref[:1, :] != 0)
-        xa = jnp.where(ma, cs * bup_ref[-1:, :] + p_above, 0.0)
-        xb = jnp.where(mb, cs * bdn_ref[:1, :] + p_below, 0.0)
+        xc = x + p * m_f
+        ma_f = jnp.where(i > 0, mup_ref[...].astype(b_ref.dtype)[-1:, :], 0.0)
+        mb_f = jnp.where(
+            i < nb - 1, mdn_ref[...].astype(b_ref.dtype)[:1, :], 0.0
+        )
+        xa = (cs * bup_ref[-1:, :] + p_above) * ma_f
+        xb = (cs * bdn_ref[:1, :] + p_below) * mb_f
         xc_ext = jnp.concatenate([xa, xc, xb], axis=0)
-        R = _stencil_rows(xc_ext, bm, m, cd, cx, cy, wp)
-        out = jnp.where(m, xc + cs * R, 0.0)
+        R = _stencil_rows_fmask(xc_ext, bm, m_f, cd, cx, cy, wp)
+        out = (xc + cs * R) * m_f
         o_ref[...] = out
         if with_dot:
             dot_refs[0][...] = jnp.full((1, 8, LANES), jnp.sum(bm * out), out.dtype)
