@@ -48,6 +48,17 @@ def main() -> None:
     print(f"single-device: {res1.iterations} iterations; max |Δx| = {dev:.2e} "
           "(partition-invariant)")
 
+    # The sharded FAST path (round 3): operator='pallas' runs the Pallas
+    # stencil per block inside shard_map, and preconditioner='mg' becomes the
+    # shard-fused V-cycle — measured at single-chip per-device throughput on
+    # real hardware (NOTES_PERF.md round 3). Same answer, fastest per chip.
+    fast = ist.DirichletSolver(nx=256, ny=256, operator="pallas",
+                               preconditioner="mg", mesh=mesh, stop=stop)
+    res2 = fast.solve(record_history=False)
+    dev2 = np.abs(res2.solution - res1.solution).max()
+    print(f"sharded fast path: {res2.iterations} iterations; "
+          f"max |Δx| = {dev2:.2e}")
+
 
 if __name__ == "__main__":
     main()

@@ -275,3 +275,37 @@ def test_facade_mesh_pallas_validation():
         )
     with pytest.raises(ValueError, match="requires operator="):
         DirichletSolver(nx=16, ny=16, operator="fused", mesh=mesh)
+
+
+def test_sharded_fused_vcycle_hybrid_mesh():
+    """Shard-fused V-cycle on a 3-axis DCN x ICI mesh (row halos over the
+    combined ('slice','y') axes)."""
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+    from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("slice", "y", "x"))
+    dom = Domain2D(nx=64, ny=64)
+    op = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=16)
+    M = ShardedFusedMultigrid.from_operator(op, dom, fuse_min_extent=33)
+    assert len(M.levels) >= 1
+    Mref = MultigridPreconditioner.from_domain(dom, fuse=False)
+    r = _masked_noise(dom)
+    z_ref = np.asarray(Mref(jnp.asarray(r)))
+    z_sh = np.asarray(op.crop(M(op.shard(r))))
+    scale = np.abs(z_ref).max()
+    np.testing.assert_allclose(z_sh / scale, z_ref / scale, atol=1e-5)
+
+
+def test_facade_mesh_pallas_jacobi():
+    """Non-MG preconditioners work with the sharded Pallas operator too
+    (diagonal built from the iota mask on the operator's padded layout)."""
+    from iterative_solvers_tpu.api import DirichletSolver
+
+    mesh = make_solver_mesh(8)
+    s = DirichletSolver(
+        nx=32, ny=32, operator="pallas", preconditioner="jacobi", mesh=mesh,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-4, max_iterations=3000),
+    )
+    res = s.solve(record_history=False)
+    assert res.converged
