@@ -261,11 +261,13 @@ def _bench_solve(n: int, on_tpu: bool) -> None:
 
     # Baseline: plain MSG CG (the reference's only algorithm) on this
     # framework's fastest plain-CG path (the fused Pallas engine on TPU).
-    # At 8192² the full run takes ~46 s, so the default measures ms/iteration
+    # At 8192² the full run takes ~51 s, so the default measures ms/iteration
     # live (~0.7 s) and multiplies by the criterion-hit iteration count of the
     # f32 recurrence — an algorithmic property of the recurrence, not of
-    # engine speed, recorded once from a full live run (NOTES_PERF.md: 14180
-    # iterations to recurrence rel 1e-6). BENCH_PLAIN_FULL=1 runs it live.
+    # engine speed. The count is EVIDENCE, not memory: a committed
+    # BENCH_PLAIN_FULL=1 run on 2026-08-17 (round 3, NOTES_PERF.md) hit the
+    # criterion at exactly 14180 iterations in 51.09 s live.
+    # BENCH_PLAIN_FULL=1 reruns it live any time.
     plain_note = "measured live (full run)"
     if on_tpu and n == 8192 and not os.environ.get("BENCH_PLAIN_FULL"):
         per_ms = _measure_plain_iter_ms(dom)
