@@ -64,50 +64,54 @@ def _residual_plane(xm, xup_row, xdn_row, xzm, xzp, bm, m, cd, cx, cy, cz, wp):
     return jnp.where(m, bm - ax, 0.0)
 
 
-def _make_k_down_3d(nx, ny, nz, cd, cx, cy, cz, cs, by, wp):
-    def kernel(*refs):
-        # inputs: b planes 2zc-2..2zc+2 (5), y-halo-up/dn groups for the
-        # middle three planes (6), then the output ref
-        b_refs = refs[0:5]
-        hup = refs[5:8]
-        hdn = refs[8:11]
-        rr_ref = refs[11]
-        zc = pl.program_id(0)
+def _make_k_resid_3d(nx, ny, nz, cd, cx, cy, cz, cs, by, wp):
+    """Residual of the pre-smoothed iterate at ONE fine plane (grid over
+    fine z × y-panels): reads three b planes + the center plane's two y-halo
+    groups, keeps x = (ω/d)·b in registers.
+
+    This replaces the old 5-plane K_down (which also z-restricted in-kernel):
+    at the 512³ finest level Mosaic's compile time blew up superlinearly with
+    live values × panel height — measured 457 s at by=104 / 616 s at by=40 vs
+    ~2 s for the 3-plane K_up at the same geometry (NOTES_PERF round 3). With
+    3 planes live this kernel compiles in seconds; the z-restriction moves to
+    XLA on the z-major axis (plane-contiguous strided reads — cheap, unlike
+    lane/sublane stride-2), costing ~2 ms of the 34 ms cycle for a ~450 s
+    compile saving."""
+
+    def kernel(bzm_ref, b_ref, bzp_ref, hup_ref, hdn_ref, r_ref):
+        t = pl.program_id(0)
         j = pl.program_id(1)
         row0 = j * by
-        t0 = 2 * zc  # center fine plane
 
-        def xplane(i5, zi):
-            # pre-smoothed iterate x = cs*b at fine plane zi (masked)
-            m = _mask_at(nx, ny, nz, zi, row0, (by, wp))
-            return cs * jnp.where(m, b_refs[i5][0], 0.0), m
+        m = _mask_at(nx, ny, nz, t, row0, (by, wp))
+        bm = jnp.where(m, b_ref[0], 0.0)
+        xm = cs * bm
+        mzm = _mask_at(nx, ny, nz, t - 1, row0, (by, wp))
+        mzp = _mask_at(nx, ny, nz, t + 1, row0, (by, wp))
+        xzm = cs * jnp.where(mzm, bzm_ref[0], 0.0)
+        xzp = cs * jnp.where(mzp, bzp_ref[0], 0.0)
+        mu = _mask_at(nx, ny, nz, t, row0 - 1, (1, wp))
+        md = _mask_at(nx, ny, nz, t, row0 + by, (1, wp))
+        xup = cs * jnp.where(mu, hup_ref[0, -1:, :], 0.0)
+        xdn = cs * jnp.where(md, hdn_ref[0, :1, :], 0.0)
+        r_ref[0] = _residual_plane(
+            xm, xup, xdn, xzm, xzp, bm, m, cd, cx, cy, cz, wp
+        )
 
-        def xrow_up(i3, zi):
-            m = _mask_at(nx, ny, nz, zi, row0 - 1, (1, wp))
-            return cs * jnp.where(m, hup[i3][0, -1:, :], 0.0)
+    return kernel
 
-        def xrow_dn(i3, zi):
-            m = _mask_at(nx, ny, nz, zi, row0 + by, (1, wp))
-            return cs * jnp.where(m, hdn[i3][0, :1, :], 0.0)
 
-        xs = []
-        ms = []
-        for k in range(5):
-            x, m = xplane(k, t0 - 2 + k)
-            xs.append(x)
-            ms.append(m)
+def _make_k_zrestrict(by, wp, d):
+    """Coarse plane zc <- 0.25 r[2zc-1] + 0.5 r[2zc] + 0.25 r[2zc+1].
+    Trivial 3-plane kernel: XLA's major-axis stride-2 gather ran ~5x off
+    bandwidth here (measured +8 ms on the 512³ V-cycle); this runs at HBM
+    speed and compiles in seconds."""
 
-        R = []
-        for k in (1, 2, 3):  # fine planes t0-1, t0, t0+1
-            zi = t0 - 2 + k
-            bm = jnp.where(ms[k], b_refs[k][0], 0.0)
-            R.append(
-                _residual_plane(
-                    xs[k], xrow_up(k - 1, zi), xrow_dn(k - 1, zi),
-                    xs[k - 1], xs[k + 1], bm, ms[k], cd, cx, cy, cz, wp,
-                )
-            )
-        rr_ref[0] = 0.25 * R[0] + 0.5 * R[1] + 0.25 * R[2]
+    def kernel(rm_ref, r_ref, rp_ref, rr_ref):
+        zc = pl.program_id(0)
+        lo = jnp.where(2 * zc - 1 >= 0, rm_ref[0], 0.0)
+        hi = jnp.where(2 * zc + 1 <= d - 1, rp_ref[0], 0.0)
+        rr_ref[0] = 0.25 * lo + 0.5 * r_ref[0] + 0.25 * hi
 
     return kernel
 
@@ -231,49 +235,51 @@ class FusedLevelKernels3D:
         by = self.block_rows
         cd, cx, cy, cz = self.coeffs
         dc = self.nz // 2 + 1
-        kernel = _make_k_down_3d(self.nx, self.ny, self.nz, cd, cx, cy, cz,
-                                 self.cs, by, wp)
+        kernel = _make_k_resid_3d(self.nx, self.ny, self.nz, cd, cx, cy, cz,
+                                  self.cs, by, wp)
         gy8 = hp // 8
 
         def plane(off):
             return pl.BlockSpec(
                 (1, by, wp),
+                lambda t, j, off=off: (jnp.clip(t + off, 0, d - 1), j, 0),
+            )
+
+        halo_up = pl.BlockSpec(
+            (1, 8, wp),
+            lambda t, j: (t, jnp.maximum(j * (by // 8) - 1, 0), 0),
+        )
+        halo_dn = pl.BlockSpec(
+            (1, 8, wp),
+            lambda t, j: (t, jnp.minimum(j * (by // 8) + by // 8, gy8 - 1), 0),
+        )
+        r = pl.pallas_call(
+            kernel,
+            grid=(d, hp // by),
+            in_specs=[plane(-1), plane(0), plane(1), halo_up, halo_dn],
+            out_specs=pl.BlockSpec((1, by, wp), lambda t, j: (t, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((d, hp, wp), b.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(b, b, b, b, b)
+        # z-restriction as a second trivial Pallas pass (see _make_k_zrestrict)
+        kz = _make_k_zrestrict(by, wp, d)
+
+        def zplane(off):
+            return pl.BlockSpec(
+                (1, by, wp),
                 lambda zc, j, off=off: (jnp.clip(2 * zc + off, 0, d - 1), j, 0),
             )
 
-        def halo(off, up):
-            if up:
-                return pl.BlockSpec(
-                    (1, 8, wp),
-                    lambda zc, j, off=off: (
-                        jnp.clip(2 * zc + off, 0, d - 1),
-                        jnp.maximum(j * (by // 8) - 1, 0),
-                        0,
-                    ),
-                )
-            return pl.BlockSpec(
-                (1, 8, wp),
-                lambda zc, j, off=off: (
-                    jnp.clip(2 * zc + off, 0, d - 1),
-                    jnp.minimum(j * (by // 8) + by // 8, gy8 - 1),
-                    0,
-                ),
-            )
-
-        in_specs = (
-            [plane(o) for o in (-2, -1, 0, 1, 2)]
-            + [halo(o, True) for o in (-1, 0, 1)]
-            + [halo(o, False) for o in (-1, 0, 1)]
-        )
         return pl.pallas_call(
-            kernel,
+            kz,
             grid=(dc, hp // by),
-            in_specs=in_specs,
+            in_specs=[zplane(-1), zplane(0), zplane(1)],
             out_specs=pl.BlockSpec((1, by, wp), lambda zc, j: (zc, j, 0)),
-            out_shape=jax.ShapeDtypeStruct((dc, hp, wp), b.dtype),
+            out_shape=jax.ShapeDtypeStruct((dc, hp, wp), r.dtype),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
             interpret=self.interpret,
-        )(*([b] * 11))
+        )(r, r, r)
 
     def up(self, b: jnp.ndarray, ec_yx: jnp.ndarray) -> jnp.ndarray:
         """Post-smoothed corrected iterate; ``ec_yx`` is the y/x-prolonged
