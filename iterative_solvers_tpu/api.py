@@ -172,29 +172,31 @@ class DirichletSolver:
                 f"unknown precision {self.precision!r} (use None or 'mixed')"
             )
         if self.precision == "mixed" and operator != "stencil" and not (
-            operator == "pallas" and self.mesh is not None
+            operator in ("pallas", "fused") and self.mesh is not None
         ):
             raise ValueError(
                 "precision='mixed' requires the matrix-free stencil operator "
-                "(or operator='pallas' with a mesh for the sharded fast path)"
+                "(or operator='pallas'/'fused' with a mesh for the sharded "
+                "fast path)"
             )
         if self.mesh is not None:
-            if operator not in ("stencil", "pallas"):
+            if operator not in ("stencil", "pallas", "fused"):
                 raise ValueError(
                     "mesh (distributed solve) requires operator='stencil' "
-                    "(jnp halo exchange) or 'pallas' (sharded Pallas fast path)"
+                    "(jnp halo exchange), 'pallas' (sharded Pallas fast "
+                    "path) or 'fused' (sharded fused CG engine)"
                 )
-            if operator == "pallas":
+            if operator in ("pallas", "fused"):
                 if is3d:
                     raise ValueError(
-                        "operator='pallas' with a mesh is 2D-only; use "
+                        f"operator={operator!r} with a mesh is 2D-only; use "
                         "operator='stencil' for sharded 3D solves"
                     )
                 if getattr(self.domain, "shape", None) not in ("gamma", "rect"):
                     raise ValueError(
-                        "operator='pallas' with a mesh needs a gamma/rect "
-                        "domain (algebraic masks); use operator='stencil' "
-                        "for custom masks"
+                        f"operator={operator!r} with a mesh needs a "
+                        "gamma/rect domain (algebraic masks); use "
+                        "operator='stencil' for custom masks"
                     )
 
     # --- parameter setters (reference dirichlet_solver.cpp:35-53,71-87) ----
@@ -246,7 +248,7 @@ class DirichletSolver:
     def _make_operator(self):
         if self._op is None:
             if self.mesh is not None:
-                if self.operator_kind == "pallas":
+                if self.operator_kind in ("pallas", "fused"):
                     from iterative_solvers_tpu.parallel.halo_pallas import (
                         ShardedPallasStencilOperator,
                     )
@@ -327,7 +329,9 @@ class DirichletSolver:
         if self.problem.u_exact is not None:
             u = self.problem.true_solution_field(self.dtype)
         if self.mesh is not None:
-            if self.operator_kind == "pallas":
+            if self.operator_kind == "fused":
+                pass  # sharded_fused_cg_solve shards/pads internally
+            elif self.operator_kind == "pallas":
                 # the sharded Pallas operator has its own (tile-aligned)
                 # padded layout
                 b = A.shard(b)
@@ -355,7 +359,7 @@ class DirichletSolver:
 
                 M = make_preconditioner(self.preconditioner, A, dom)
                 if self.mesh is not None and hasattr(M, "levels"):
-                    if self.operator_kind == "pallas":
+                    if self.operator_kind in ("pallas", "fused"):
                         # sharded fast path: fused Pallas V-cycle legs per
                         # block under shard_map, on the operator's layout
                         from iterative_solvers_tpu.parallel.mg_sharded import (
@@ -415,7 +419,7 @@ class DirichletSolver:
                 else None
             )
             if self.mesh is not None:
-                if self.operator_kind == "pallas":
+                if self.operator_kind in ("pallas", "fused"):
                     b64 = A.shard(b64)
                     u64 = A.shard(u64) if u64 is not None else None
                 else:
@@ -444,7 +448,32 @@ class DirichletSolver:
                 and self.preconditioner is not None
                 and self.preconditioner.split(":")[0] in ("mg", "multigrid")
             )
-            if use_fused_ir:
+            use_mesh_engine_ir = (
+                use_device_ir
+                and self.mesh is not None
+                and self.operator_kind in ("pallas", "fused")
+                and self.preconditioner is not None
+                and self.preconditioner.split(":")[0] in ("mg", "multigrid")
+            )
+            if use_mesh_engine_ir:
+                # sharded fused engine + shard-fused V-cycle: the whole IR
+                # ladder in one dispatch over the mesh
+                from iterative_solvers_tpu.parallel.cg_fused_sharded import (
+                    _sharded_engine_for,
+                )
+                from iterative_solvers_tpu.solvers.refine import (
+                    engine_refined_solve,
+                )
+
+                res = engine_refined_solve(
+                    _sharded_engine_for(A, M),
+                    self._hi_operator(A),
+                    b64,
+                    u_true=u64,
+                    stop=self.stop,
+                    profiler=profiler,
+                )
+            elif use_fused_ir:
                 from iterative_solvers_tpu.solvers.refine import fused_refined_solve
 
                 if self._ir_cache is None:
@@ -495,9 +524,16 @@ class DirichletSolver:
                 )
             b, u = b64, u64
         elif self.operator_kind == "fused":
-            from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+            if self.mesh is not None:
+                from iterative_solvers_tpu.parallel.cg_fused_sharded import (
+                    sharded_fused_cg_solve,
+                )
 
-            res = fused_cg_solve(A, b, u_true=u, options=opts)
+                res = sharded_fused_cg_solve(A, b, u_true=u, options=opts)
+            else:
+                from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+
+                res = fused_cg_solve(A, b, u_true=u, options=opts)
         else:
             res = cg_solve(A, b, u_true=u, options=opts)
         results = self._assemble_results(res, b, u)
@@ -512,7 +548,13 @@ class DirichletSolver:
         x = res.x
         # final residual via a fresh apply (dirichlet_solver.cpp:147-161)
         if self.operator_kind == "fused":
-            r = b - A.crop(A(A.pad(x)))  # fused returns x already cropped
+            if tuple(x.shape) == tuple(A.padded_shape):
+                # mesh mixed path: fields stayed on the padded layout (f64 —
+                # use the jnp twin; the Pallas kernels are f32-only on TPU)
+                Af = A if x.dtype == jnp.float32 else self._hi_operator(A)
+                r = b - Af(x)
+            else:
+                r = b - A.crop(A(A.pad(x)))  # fused returns x already cropped
         else:
             Ar = A
             if (

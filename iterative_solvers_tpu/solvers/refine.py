@@ -625,6 +625,91 @@ def _padded_hi_operator(pop):
     )
 
 
+def engine_refined_solve(
+    engine,  # fused-iteration engine (single-chip FusedCGEngine or the
+    # mesh ShardedFusedCGEngine) with its preconditioner at engine.M
+    A_hi: Callable,  # high-precision operator on the same field layout
+    b: jnp.ndarray,  # f64 RHS, already on the engine's (padded) layout
+    *,
+    u_true: Optional[jnp.ndarray] = None,
+    stop: Optional[StopConfig] = None,
+    inner_rel_tol: float = 1e-4,
+    inner_max_iter: int = 200,
+    max_outer: int = 8,
+    profiler=None,
+) -> RefinedResult:
+    """One-dispatch mixed-precision refinement around any fused engine.
+
+    The layout-agnostic core of :func:`fused_refined_solve` (which binds the
+    single-chip Pallas operator's pad/crop): fields stay on the caller's
+    layout, so mesh-sharded global arrays work directly — this is how
+    DirichletSolver(mesh=..., operator='pallas'|'fused', precision='mixed')
+    runs the whole IR ladder in one dispatch per solve over the mesh."""
+    import contextlib
+
+    stop = stop or StopConfig()
+    t0 = time.perf_counter()
+    phase = (
+        profiler.phase if profiler is not None else (lambda name: contextlib.nullcontext())
+    )
+    with phase("device_ir"):
+        x, r, stats_dev = _device_ir(
+            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer, b,
+            u_true,
+        )
+        stats = np.asarray(stats_dev)  # the ONE host fetch
+    k_out, total_inner = int(stats[0]), int(stats[1])
+    done, reason = bool(stats[2]), StopReason(int(stats[3]))
+    r_max, prec, err = float(stats[4]), float(stats[5]), float(stats[6])
+    r_norm = math.sqrt(max(float(stats[7]), 0.0))
+    r0_norm = float(stats[8])
+    hist = stats[9:].reshape(max_outer, 5)[:k_out].copy() if k_out else None
+    if profiler is not None:
+        profiler.count("iterations", total_inner)
+
+    if (
+        not done
+        and reason == StopReason.ITERATIONS
+        and total_inner < stop.max_iterations
+    ):
+        with phase("escalated_polish"):
+            res = refined_solve(
+                A_hi,
+                A_hi,
+                b,
+                u_true=u_true,
+                stop=stop,
+                preconditioner=engine.M,
+                inner_rel_tol=inner_rel_tol,
+                inner_max_iter=inner_max_iter,
+                x0=x,
+                profiler=profiler,
+            )
+        res.iterations += total_inner
+        res.outer_iterations += k_out
+        res.escalated = True
+        res.elapsed_s = time.perf_counter() - t0
+        res.history = _join_history(hist, res.history, total_inner)
+        return res
+
+    return RefinedResult(
+        x=x,
+        iterations=total_inner,
+        converged=bool(done and reason.converged),
+        reason=reason,
+        precision_max=prec,
+        residual_max=r_max,
+        error_max=err,
+        residual_norm=r_norm,
+        initial_residual_norm=r0_norm,
+        elapsed_s=time.perf_counter() - t0,
+        history=hist,
+        outer_iterations=k_out,
+        inner_iterations=None,
+        escalated=False,
+    )
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _device_ir_generic(
     A_hi,  # high-precision operator

@@ -309,3 +309,128 @@ def test_facade_mesh_pallas_jacobi():
     )
     res = s.solve(record_history=False)
     assert res.converged
+
+
+# --- sharded fused CG engine (parallel/cg_fused_sharded.py) ------------------
+
+
+def test_sharded_fused_engine_msg_matches_single_chip():
+    from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.parallel.cg_fused_sharded import (
+        sharded_fused_cg_solve,
+    )
+
+    dom = Domain2D(nx=64, ny=64)
+    prob = PoissonProblem.manufactured(dom)
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=500)
+    b32 = prob.rhs_field(jnp.float32)
+    ref = fused_cg_solve(
+        PallasStencilOperator.from_domain(dom), b32,
+        options=CGOptions(stop=stop),
+    )
+    mesh = make_solver_mesh(8, (4, 2))
+    op = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=16)
+    res = sharded_fused_cg_solve(op, b32, options=CGOptions(stop=stop))
+    assert res.converged
+    assert res.iterations == ref.iterations  # identical recurrence path
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(ref.x), atol=2e-5
+    )
+
+
+def test_sharded_fused_engine_pcg_matches_single_chip():
+    from iterative_solvers_tpu.kernels.cg_fused import fused_cg_solve
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.parallel.cg_fused_sharded import (
+        sharded_fused_cg_solve,
+    )
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+    )
+
+    dom = Domain2D(nx=64, ny=64)
+    prob = PoissonProblem.manufactured(dom)
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=100)
+    b32 = prob.rhs_field(jnp.float32)
+    pop1 = PallasStencilOperator.from_domain(dom)
+    M1 = PaddedPreconditioner(
+        inner=MultigridPreconditioner.from_domain(dom, fuse=False),
+        padded_op=pop1,
+    )
+    ref = fused_cg_solve(
+        pop1, b32, options=CGOptions(stop=stop, preconditioner=M1)
+    )
+    mesh = make_solver_mesh(8, (4, 2))
+    op = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=16)
+    M = ShardedFusedMultigrid.from_operator(op, dom, fuse_min_extent=33)
+    res = sharded_fused_cg_solve(
+        op, b32, options=CGOptions(stop=stop, preconditioner=M)
+    )
+    assert res.converged
+    assert abs(res.iterations - ref.iterations) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(ref.x), atol=2e-5
+    )
+
+
+def test_engine_refined_solve_over_mesh():
+    """The whole mixed-precision IR ladder in one dispatch with the sharded
+    fused engine + shard-fused V-cycle."""
+    from iterative_solvers_tpu.parallel.cg_fused_sharded import (
+        ShardedFusedCGEngine,
+    )
+    from iterative_solvers_tpu.parallel.halo import ShardedStencilOperator
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+    from iterative_solvers_tpu.solvers.refine import engine_refined_solve
+
+    dom = Domain2D(nx=64, ny=64)
+    prob = PoissonProblem.manufactured(dom)
+    mesh = make_solver_mesh(8, (4, 2))
+    pop = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=16)
+    M = ShardedFusedMultigrid.from_operator(pop, dom, fuse_min_extent=33)
+    engine = ShardedFusedCGEngine(pop, M)
+    A_hi = ShardedStencilOperator(
+        mesh=mesh, coeffs=pop.coeffs, grid_shape=pop.grid_shape,
+        padded_shape=pop.padded_shape, mask_kind=pop.mask_mode,
+        dims=(dom.nx, dom.ny),
+    )
+    b64 = pop.shard(prob.rhs_field(jnp.float64))
+    res = engine_refined_solve(
+        engine, A_hi, b64,
+        stop=StopConfig(
+            eps_precision=-1.0, eps_residual=-1.0, eps_exact_error=-1.0,
+            eps_relative=1e-8, max_iterations=10000,
+        ),
+    )
+    assert res.converged
+    assert res.residual_norm < 1e-8 * res.initial_residual_norm
+    assert res.history is not None and res.history.shape[1] == 5
+
+
+def test_facade_mesh_fused_paths():
+    from iterative_solvers_tpu.api import DirichletSolver
+
+    mesh = make_solver_mesh(8)
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=500)
+    r = DirichletSolver(nx=64, ny=64, operator="fused", mesh=mesh, stop=stop).solve(
+        record_history=False
+    )
+    assert r.converged
+    r0 = DirichletSolver(nx=64, ny=64, stop=stop).solve(record_history=False)
+    np.testing.assert_allclose(r.solution, r0.solution, atol=1e-4)
+
+    r2 = DirichletSolver(
+        nx=64, ny=64, operator="fused", preconditioner="mg", mesh=mesh,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-3, max_iterations=100),
+    ).solve(record_history=False)
+    assert r2.converged and r2.iterations <= 15
+
+    r3 = DirichletSolver(
+        nx=64, ny=64, operator="fused", preconditioner="mg",
+        precision="mixed", mesh=mesh,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=10000),
+    ).solve(record_history=False)
+    assert r3.converged and r3.residual_norm < 1e-6
