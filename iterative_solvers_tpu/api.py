@@ -186,12 +186,12 @@ class DirichletSolver:
                     "(jnp halo exchange), 'pallas' (sharded Pallas fast "
                     "path) or 'fused' (sharded fused CG engine)"
                 )
-            if operator in ("pallas", "fused"):
-                if is3d:
-                    raise ValueError(
-                        f"operator={operator!r} with a mesh is 2D-only; use "
-                        "operator='stencil' for sharded 3D solves"
-                    )
+            if operator == "fused" and is3d:
+                raise ValueError(
+                    "operator='fused' with a mesh is 2D-only; use "
+                    "operator='pallas' for sharded 3D solves"
+                )
+            if operator in ("pallas", "fused") and not is3d:
                 if getattr(self.domain, "shape", None) not in ("gamma", "rect"):
                     raise ValueError(
                         f"operator={operator!r} with a mesh needs a "
@@ -249,6 +249,15 @@ class DirichletSolver:
         if self._op is None:
             if self.mesh is not None:
                 if self.operator_kind in ("pallas", "fused"):
+                    if isinstance(self.domain, Domain3D):
+                        from iterative_solvers_tpu.parallel.halo_pallas import (
+                            ShardedPallas3DStencilOperator,
+                        )
+
+                        self._op = ShardedPallas3DStencilOperator.from_domain(
+                            self.domain, self.mesh, self.dtype
+                        )
+                        return self._op
                     from iterative_solvers_tpu.parallel.halo_pallas import (
                         ShardedPallasStencilOperator,
                     )
@@ -293,21 +302,28 @@ class DirichletSolver:
         their own twin; the sharded Pallas operator (f32-only kernels on
         TPU) gets a jnp halo operator rebuilt on its padded layout."""
         from iterative_solvers_tpu.parallel.halo_pallas import (
+            ShardedPallas3DStencilOperator,
             ShardedPallasStencilOperator,
         )
 
-        if not isinstance(A, ShardedPallasStencilOperator):
+        if not isinstance(
+            A, (ShardedPallasStencilOperator, ShardedPallas3DStencilOperator)
+        ):
             return A
         if getattr(self, "_hi_op", None) is None or self._hi_op_key != id(A):
             from iterative_solvers_tpu.parallel.halo import ShardedStencilOperator
 
+            if isinstance(A, ShardedPallas3DStencilOperator):
+                kind, dims = "box3", (A.nx, A.ny, A.nz)
+            else:
+                kind, dims = A.mask_mode, (A.nx, A.ny)
             self._hi_op = ShardedStencilOperator(
                 mesh=A.mesh,
                 coeffs=A.coeffs,
                 grid_shape=A.grid_shape,
                 padded_shape=A.padded_shape,
-                mask_kind=A.mask_mode,
-                dims=(A.nx, A.ny),
+                mask_kind=kind,
+                dims=dims,
             )
             self._hi_op_key = id(A)
         return self._hi_op
@@ -359,7 +375,9 @@ class DirichletSolver:
 
                 M = make_preconditioner(self.preconditioner, A, dom)
                 if self.mesh is not None and hasattr(M, "levels"):
-                    if self.operator_kind in ("pallas", "fused"):
+                    if self.operator_kind in ("pallas", "fused") and not isinstance(
+                        dom, Domain3D
+                    ):
                         # sharded fast path: fused Pallas V-cycle legs per
                         # block under shard_map, on the operator's layout
                         from iterative_solvers_tpu.parallel.mg_sharded import (

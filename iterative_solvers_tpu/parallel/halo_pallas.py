@@ -332,3 +332,265 @@ class ShardedPallasStencilOperator:
         return StencilOperator(
             jnp.asarray(self.interior_padded()), self.coeffs
         ).nnz()
+
+
+# --- 3D (7-point) sharded operator -------------------------------------------
+
+
+def _make_block_kernel_3d(nx, ny, nz, cd, cx, cy, cz, by, w, nbz):
+    """7-point stencil on one (nbz, hp, w) device block (z sharded, y local,
+    x sharded); (zoff, coff) via scalar prefetch."""
+
+    def kernel(offs_ref, x_ref, zup_ref, zdn_ref, hzup_ref, hzdn_ref,
+               yup_ref, ydn_ref, o_ref):
+        z = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = j * by
+        zoff = offs_ref[0]
+        coff = offs_ref[1]
+
+        def mask_at(zi, r0, shape):
+            ri = lax.broadcasted_iota(jnp.int32, shape, 0) + r0
+            ci = lax.broadcasted_iota(jnp.int32, shape, 1) + coff
+            zg = zi + zoff
+            return (
+                (zg > 0) & (zg < nz) & (ri > 0) & (ri < ny)
+                & (ci > 0) & (ci < nx)
+            )
+
+        m = mask_at(z, row0, (by, w))
+        x = jnp.where(m, x_ref[0], 0.0)
+        # z neighbors: clamped in-block planes, or the ppermuted neighbor
+        # plane at the block edge
+        zup_src = jnp.where(z == 0, hzup_ref[0], zup_ref[0])
+        zdn_src = jnp.where(z == nbz - 1, hzdn_ref[0], zdn_ref[0])
+        zup = jnp.where(mask_at(z - 1, row0, (by, w)), zup_src, 0.0)
+        zdn = jnp.where(mask_at(z + 1, row0, (by, w)), zdn_src, 0.0)
+        yup_row = jnp.where(mask_at(z, row0 - 1, (1, w)), yup_ref[0, -1:, :], 0.0)
+        ydn_row = jnp.where(mask_at(z, row0 + by, (1, w)), ydn_ref[0, :1, :], 0.0)
+        yup = jnp.concatenate([yup_row, x[:-1, :]], axis=0)
+        ydn = jnp.concatenate([x[1:, :], ydn_row], axis=0)
+        lane = lax.broadcasted_iota(jnp.int32, (by, w), 1)
+        lf = jnp.where(lane == 0, 0.0, pltpu.roll(x, np.int32(1), 1))
+        rt = jnp.where(lane == w - 1, 0.0, pltpu.roll(x, np.int32(w - 1), 1))
+        y = cd * x + cx * (lf + rt) + cy * (yup + ydn) + cz * (zup + zdn)
+        o_ref[0] = jnp.where(m, y, 0.0)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nx", "ny", "nz", "cd", "cx", "cy", "cz", "by",
+                     "interpret"),
+)
+def _block_stencil_call_3d(offs, x, hzup, hzdn, *, nx, ny, nz, cd, cx, cy,
+                           cz, by, interpret):
+    dzb, hp, wb = x.shape
+    gy = hp // 8
+    kernel = _make_block_kernel_3d(nx, ny, nz, cd, cx, cy, cz, by, wb, dzb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(dzb, hp // by),
+        in_specs=[
+            pl.BlockSpec((1, by, wb), lambda z, j, o: (z, j, 0)),
+            pl.BlockSpec(
+                (1, by, wb), lambda z, j, o: (jnp.maximum(z - 1, 0), j, 0)
+            ),
+            pl.BlockSpec(
+                (1, by, wb), lambda z, j, o: (jnp.minimum(z + 1, dzb - 1), j, 0)
+            ),
+            pl.BlockSpec((1, by, wb), lambda z, j, o: (0, j, 0)),  # halo plane
+            pl.BlockSpec((1, by, wb), lambda z, j, o: (0, j, 0)),
+            pl.BlockSpec(
+                (1, 8, wb),
+                lambda z, j, o: (z, jnp.maximum(j * (by // 8) - 1, 0), 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, wb),
+                lambda z, j, o: (z, jnp.minimum(j * (by // 8) + by // 8, gy - 1), 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, by, wb), lambda z, j, o: (z, j, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((dzb, hp, wb), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(offs, x, x, x, hzup, hzdn, x, x)
+
+
+@dataclass(frozen=True, eq=False)
+class ShardedPallas3DStencilOperator:
+    """Mesh-sharded 7-point box operator: z planes over the row mesh axes,
+    x columns over the last axis, y local — the Pallas kernel of
+    kernels/stencil3d_pallas.py per block under shard_map (round-3 3D leg
+    of the sharded fast path)."""
+
+    mesh: Mesh
+    nx: int
+    ny: int
+    nz: int
+    coeffs: Tuple[float, float, float, float]
+    grid_shape: Tuple[int, int, int]
+    padded_shape: Tuple[int, int, int]
+    block_shape: Tuple[int, int, int]  # (Dz_b, Hp, Wb) per device
+    block_rows: int
+    interpret: bool
+
+    @staticmethod
+    def from_domain(
+        domain, mesh: Mesh, dtype=None, block_rows: Optional[int] = None,
+        interpret: Optional[bool] = None,
+    ) -> "ShardedPallas3DStencilOperator":
+        from iterative_solvers_tpu.kernels.stencil3d_pallas import (
+            _auto_block_rows_3d,
+        )
+
+        d, h, w = domain.grid_shape
+        my = int(np.prod(mesh.devices.shape[:-1]))
+        mx = int(mesh.devices.shape[-1])
+        wp = _round_up(w, mx * 128)
+        by = block_rows or _auto_block_rows_3d(h)
+        hp = _round_up(h, by)
+        dp = _round_up(d, my)
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        return ShardedPallas3DStencilOperator(
+            mesh=mesh,
+            nx=domain.nx,
+            ny=domain.ny,
+            nz=domain.nz,
+            coeffs=(domain.coeff_diag, domain.coeff_x, domain.coeff_y,
+                    domain.coeff_z),
+            grid_shape=(d, h, w),
+            padded_shape=(dp, hp, wp),
+            block_shape=(dp // my, hp, wp // mx),
+            block_rows=by,
+            interpret=interpret,
+        )
+
+    def _block_apply(self, x, ay, ax):
+        cd, cx, cy, cz = self.coeffs
+        dzb, hp, wb = self.block_shape
+        i32 = jnp.int32
+        zoff = (lax.axis_index(ay) * dzb).astype(i32)
+        coff = (lax.axis_index(ax) * wb).astype(i32)
+
+        def pred(zi, yi, xi):
+            return (
+                (zi > 0) & (zi < self.nz) & (yi > 0) & (yi < self.ny)
+                & (xi > 0) & (xi < self.nx)
+            )
+
+        zi = lax.broadcasted_iota(i32, (dzb, 1, 1), 0) + zoff
+        yi = lax.broadcasted_iota(i32, (1, hp, 1), 1)
+        xi = lax.broadcasted_iota(i32, (1, 1, wb), 2) + coff
+
+        last_plane = jnp.where(pred(zoff + dzb - 1, yi, xi), x[-1:, :, :], 0.0)
+        first_plane = jnp.where(pred(zoff, yi, xi), x[:1, :, :], 0.0)
+        last_col = jnp.where(pred(zi, yi, coff + wb - 1), x[:, :, -1:], 0.0)
+        first_col = jnp.where(pred(zi, yi, coff), x[:, :, :1], 0.0)
+        plane_up = lax.ppermute(last_plane, ay, perm=_fwd(ay))
+        plane_dn = lax.ppermute(first_plane, ay, perm=_bwd(ay))
+        col_left = lax.ppermute(last_col, ax, perm=_fwd(ax))
+        col_right = lax.ppermute(first_col, ax, perm=_bwd(ax))
+
+        offs = jnp.stack([zoff, coff])
+        y = _block_stencil_call_3d(
+            offs, x, plane_up, plane_dn,
+            nx=self.nx, ny=self.ny, nz=self.nz,
+            cd=cd, cx=cx, cy=cy, cz=cz, by=self.block_rows,
+            interpret=self.interpret,
+        )
+        y = y.at[:, :, :1].add(jnp.where(pred(zi, yi, coff), cx * col_left, 0.0))
+        y = y.at[:, :, -1:].add(
+            jnp.where(pred(zi, yi, coff + wb - 1), cx * col_right, 0.0)
+        )
+        return y
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.dtype == jnp.float32:
+            with jax.enable_x64(False):
+                return self._apply(x)
+        return self._apply(x)
+
+    def _apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        names = self.mesh.axis_names
+        ay = names[0] if len(names) == 2 else tuple(names[:-1])
+        ax = names[-1]
+        spec = mesh_lib.field_spec(self.mesh, 3)
+        return jax.shard_map(
+            lambda xb: self._block_apply(xb, ay, ax),
+            mesh=self.mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )(x)
+
+    # --- layout helpers -----------------------------------------------------
+
+    def pad(self, field):
+        d, h, w = self.grid_shape
+        dp, hp, wp = self.padded_shape
+        pads = ((0, dp - d), (0, hp - h), (0, wp - w))
+        if isinstance(field, np.ndarray):
+            return np.pad(field, pads)
+        return jnp.pad(jnp.asarray(field), pads)
+
+    def crop(self, field):
+        d, h, w = self.grid_shape
+        return field[:d, :h, :w]
+
+    def shard(self, field):
+        spec = mesh_lib.field_spec(self.mesh, 3)
+        sharding = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            f = self.pad(np.asarray(field))
+            return jax.make_array_from_callback(
+                f.shape, sharding, lambda idx: f[idx]
+            )
+        return jax.device_put(self.pad(jnp.asarray(field)), sharding)
+
+    @property
+    def shape(self):
+        return self.padded_shape
+
+    def _interior_device(self) -> jnp.ndarray:
+        i32 = jnp.int32
+        shape = self.padded_shape
+        zi = lax.broadcasted_iota(i32, shape, 0)
+        yi = lax.broadcasted_iota(i32, shape, 1)
+        xi = lax.broadcasted_iota(i32, shape, 2)
+        return (
+            (zi > 0) & (zi < self.nz) & (yi > 0) & (yi < self.ny)
+            & (xi > 0) & (xi < self.nx)
+        )
+
+    def interior_padded(self) -> np.ndarray:
+        zi, yi, xi = np.ogrid[
+            0 : self.padded_shape[0], 0 : self.padded_shape[1],
+            0 : self.padded_shape[2],
+        ]
+        return np.broadcast_to(
+            (zi > 0) & (zi < self.nz) & (yi > 0) & (yi < self.ny)
+            & (xi > 0) & (xi < self.nx),
+            self.padded_shape,
+        ).copy()
+
+    @property
+    def interior(self) -> np.ndarray:
+        return self.interior_padded()
+
+    def mask(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.where(self._interior_device(), x, 0)
+
+    def diagonal(self) -> jnp.ndarray:
+        return jnp.where(self._interior_device(), self.coeffs[0], 0.0)
+
+    def nnz(self) -> int:
+        from iterative_solvers_tpu.ops.stencil import StencilOperator
+
+        return StencilOperator(
+            jnp.asarray(self.interior_padded()), self.coeffs, ndim=3
+        ).nnz()

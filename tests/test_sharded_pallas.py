@@ -434,3 +434,47 @@ def test_facade_mesh_fused_paths():
         stop=StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=10000),
     ).solve(record_history=False)
     assert r3.converged and r3.residual_norm < 1e-6
+
+
+# --- 3D sharded Pallas operator ----------------------------------------------
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 2), (1, 8)])
+def test_sharded_pallas_3d_matches_local(mesh_shape):
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.parallel.halo_pallas import (
+        ShardedPallas3DStencilOperator,
+    )
+
+    dom = Domain3D(nx=18, ny=14, nz=22)
+    mesh = make_solver_mesh(mesh_shape[0] * mesh_shape[1], mesh_shape)
+    local = StencilOperator.from_domain(dom)
+    op = ShardedPallas3DStencilOperator.from_domain(dom, mesh, block_rows=8)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(dom.grid_shape)
+    y_local = np.asarray(local(jnp.asarray(x)))
+    y_shard = np.asarray(op.crop(op(op.shard(x))))
+    np.testing.assert_allclose(y_shard, y_local, rtol=1e-11, atol=1e-11)
+
+
+def test_facade_mesh_pallas_3d():
+    from iterative_solvers_tpu.api import DirichletSolver
+    from iterative_solvers_tpu.core.domain import Domain3D
+
+    mesh = make_solver_mesh(8)
+    dom = Domain3D(nx=16, ny=16, nz=16)
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-4, max_iterations=3000)
+    r = DirichletSolver(domain=dom, operator="pallas", mesh=mesh, stop=stop).solve(
+        record_history=False
+    )
+    assert r.converged
+    r0 = DirichletSolver(domain=dom, stop=stop).solve(record_history=False)
+    assert r.iterations == r0.iterations
+    np.testing.assert_allclose(r.solution, r0.solution, atol=1e-8)
+
+    r2 = DirichletSolver(
+        domain=dom, operator="pallas", preconditioner="mg",
+        precision="mixed", mesh=mesh,
+        stop=StopConfig(eps_precision=-1, eps_residual=1e-7, max_iterations=10000),
+    ).solve(record_history=False)
+    assert r2.converged and r2.residual_norm < 1e-7
