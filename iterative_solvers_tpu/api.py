@@ -469,6 +469,9 @@ class DirichletSolver:
             use_mesh_engine_ir = (
                 use_device_ir
                 and self.mesh is not None
+                # the sharded fused engine is 2D-only; mesh 3D solves take the
+                # generic device-IR branch below (sharded Pallas op twin)
+                and not isinstance(dom, Domain3D)
                 and self.operator_kind in ("pallas", "fused")
                 and self.preconditioner is not None
                 and self.preconditioner.split(":")[0] in ("mg", "multigrid")

@@ -100,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["solution", "true_solution", "residual", "error"],
                    help="print a result vector as an '# x y value' console "
                    "table (repeatable)")
+    s.add_argument("--limit", type=int, default=0,
+                   help="truncate printed tables to N rows (0 = all)")
 
     v = sub.add_parser(
         "view",
@@ -237,7 +239,7 @@ def cmd_solve(args) -> int:
     for q in args.print_vectors:
         from iterative_solvers_tpu.report import vector_table
 
-        print(vector_table(res, q))
+        print(vector_table(res, q, limit=args.limit))
     if args.print_matrix:
         from iterative_solvers_tpu.report import matrix_table
 

@@ -155,7 +155,7 @@ def _make_k2_block(nx, ny, cd, cx, cy, by, w, mask_mode, has_u, pcg):
     return kernel
 
 
-def _specs_block(by, w, hb, offs_extra=True):
+def _specs_block(by, w, hb):
     main = pl.BlockSpec((by, w), lambda i, o: (i, 0))
     up = pl.BlockSpec((8, w), lambda i, o: (jnp.maximum(i * (by // 8) - 1, 0), 0))
     dn = pl.BlockSpec(
@@ -261,14 +261,7 @@ class ShardedFusedCGEngine:
     M: Optional[object] = None
 
     def _axes(self):
-        names = self.op.mesh.axis_names
-        ay = names[0] if len(names) == 2 else tuple(names[:-1])
-        ax = names[-1]
-        return ay, ax
-
-    def _axes_all(self):
-        ay, ax = self._axes()
-        return (ay if isinstance(ay, tuple) else (ay,)) + (ax,)
+        return mesh_lib.row_col_axes(self.op.mesh)
 
     # --- per-block iteration body (inside shard_map) ------------------------
 
@@ -284,7 +277,7 @@ class ShardedFusedCGEngine:
         rows = lax.broadcasted_iota(i32, (hb, 1), 0) + roff
         cols = lax.broadcasted_iota(i32, (1, wb), 1) + coff
         offs = jnp.stack([roff, coff])
-        axes_all = (ay if isinstance(ay, tuple) else (ay,)) + (ax,)
+        axes_all = mesh_lib.row_col_axes_flat(op.mesh)
         d = w_field if self.M is not None else r
 
         # halo rows of the direction's ingredients (masked edge rows out)

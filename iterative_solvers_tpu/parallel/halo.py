@@ -223,9 +223,7 @@ class ShardedStencilOperator:
         # last (('slice', 'y') combined): the ppermutes then carry intra-slice
         # halo rows over ICI and the one slice-boundary row over DCN — lax
         # collectives take axis-name tuples and GSPMD places each pair.
-        names = self.mesh.axis_names
-        ay = names[0] if len(names) == 2 else tuple(names[:-1])
-        ax = names[-1]
+        ay, ax = mesh_lib.row_col_axes(self.mesh)
         spec = mesh_lib.field_spec(self.mesh, x.ndim)
         if len(self.coeffs) == 4:
             body = partial(_halo_apply_3d, cd=self.coeffs[0], cx=self.coeffs[1],

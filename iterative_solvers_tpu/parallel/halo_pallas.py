@@ -140,8 +140,9 @@ def _block_stencil_call(
 
 
 def _embed_row(row, w, index):
-    """Place a (1, w) row at sublane ``index`` of an (8, w) group (Mosaic's
-    minimum sublane block)."""
+    """Place a (k, w) row slab at sublane ``index`` of an (8, w) group
+    (Mosaic's minimum sublane block). The package-wide convention: sublane 7
+    holds the row above the block, sublane 0 the row below."""
     out = jnp.zeros((8, w), row.dtype)
     return lax.dynamic_update_slice(out, row, (index, 0))
 
@@ -259,9 +260,7 @@ class ShardedPallasStencilOperator:
         return self._apply(x)
 
     def _apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        names = self.mesh.axis_names
-        ay = names[0] if len(names) == 2 else tuple(names[:-1])
-        ax = names[-1]
+        ay, ax = mesh_lib.row_col_axes(self.mesh)
         spec = mesh_lib.field_spec(self.mesh, 2)
         # check_vma=False: pallas_call's out_shape carries no varying-mesh-
         # axes annotation, which the vma checker would reject.
@@ -518,9 +517,7 @@ class ShardedPallas3DStencilOperator:
         return self._apply(x)
 
     def _apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        names = self.mesh.axis_names
-        ay = names[0] if len(names) == 2 else tuple(names[:-1])
-        ax = names[-1]
+        ay, ax = mesh_lib.row_col_axes(self.mesh)
         spec = mesh_lib.field_spec(self.mesh, 3)
         return jax.shard_map(
             lambda xb: self._block_apply(xb, ay, ax),

@@ -87,6 +87,25 @@ def crop_field(field, grid_shape: Tuple[int, ...]):
     return field[sl]
 
 
+def row_col_axes(mesh: Mesh):
+    """Mesh axis names pairing with the field's (row, column) dims.
+
+    The single source of the hybrid-mesh convention (shared with
+    :func:`field_spec`): rows shard over every axis but the last — a tuple
+    like ``('slice', 'y')`` on a DCN×ICI mesh, collapsed to the bare name on
+    a flat 2-axis mesh so halo ppermutes stay single-axis — columns over the
+    last axis."""
+    names = mesh.axis_names
+    ay = names[0] if len(names) == 2 else tuple(names[:-1])
+    return ay, names[-1]
+
+
+def row_col_axes_flat(mesh: Mesh) -> Tuple[str, ...]:
+    """All mesh axis names as a flat tuple (for psum/pmax over the mesh)."""
+    ay, ax = row_col_axes(mesh)
+    return (ay if isinstance(ay, tuple) else (ay,)) + (ax,)
+
+
 def field_spec(mesh: Mesh, ndim: int = 2) -> P:
     """Partition the leading and trailing field dims over the mesh axes
     (2D: rows/cols; 3D: z-planes/x-columns with y unsharded). On a hybrid

@@ -57,6 +57,7 @@ from iterative_solvers_tpu.kernels.stencil_pallas import _interior_pred, _round_
 from iterative_solvers_tpu.kernels.mg_fused import lane_prolong, lane_restrict
 from iterative_solvers_tpu.parallel import mesh as mesh_lib
 from iterative_solvers_tpu.parallel.halo import _bwd, _fwd
+from iterative_solvers_tpu.parallel.halo_pallas import _embed_row
 from iterative_solvers_tpu.solvers.multigrid import (
     MultigridPreconditioner,
     _coarsen_domain,
@@ -113,11 +114,13 @@ def _make_k_down_block(nx, ny, cd, cx, cy, cs, by, w, mask_mode, nb):
     return kernel
 
 
-def _make_k_up_block(nx, ny, cd, cx, cy, cs, by, w, mask_mode, ch, nb):
+def _make_k_up_block(nx, ny, cd, cx, cy, cs, by, w, mask_mode, ch, nb,
+                     with_dot=False):
     pred = _interior_pred(mask_mode, nx, ny)
 
     def kernel(offs_ref, b_ref, bup_ref, bdn_ref, hbup_ref, hbdn_ref,
-               ec_ref, ecup_ref, ecdn_ref, hecup_ref, hecdn_ref, o_ref):
+               ec_ref, ecup_ref, ecdn_ref, hecup_ref, hecdn_ref, o_ref,
+               *dot_ref):
         i = pl.program_id(0)
         roff = offs_ref[0]
         coff = offs_ref[1]
@@ -155,7 +158,17 @@ def _make_k_up_block(nx, ny, cd, cx, cy, cs, by, w, mask_mode, ch, nb):
         xb = jnp.where(mask_at(row0 + by, (1, w)), cs * bdn_src + p_below, 0.0)
         xc_ext = jnp.concatenate([xa, xc, xb], axis=0)
         R = _stencil_rows_block(xc_ext, bm, m, cd, cx, cy, w)
-        o_ref[...] = jnp.where(m, xc + cs * R, 0.0)
+        o = jnp.where(m, xc + cs * R, 0.0)
+        o_ref[...] = o
+        if with_dot:
+            # (b, out) partial for the PCG rz epilogue; the edge lanes are
+            # excluded (their out rows get jit-level corrections) and added
+            # back from the corrected columns outside the kernel
+            lane = lax.broadcasted_iota(jnp.int32, (by, w), 1)
+            inner = (lane > 0) & (lane < w - 1)
+            dot_ref[0][...] = jnp.full(
+                (1, 8, 128), jnp.sum(jnp.where(inner, bm * o, 0.0)), o.dtype
+            )
 
     return kernel
 
@@ -199,15 +212,16 @@ def _k_down_call(offs, b, hup, hdn, *, nx, ny, cd, cx, cy, cs, by, mask_mode,
 @partial(
     jax.jit,
     static_argnames=("nx", "ny", "cd", "cx", "cy", "cs", "by", "mask_mode",
-                     "ch", "nb", "interpret"),
+                     "ch", "nb", "interpret", "with_dot"),
 )
 def _k_up_call(offs, b, hbup, hbdn, ec, hecup, hecdn, *, nx, ny, cd, cx, cy,
-               cs, by, mask_mode, ch, nb, interpret):
+               cs, by, mask_mode, ch, nb, interpret, with_dot=False):
     hb, wb = b.shape
     gy = hb // 8
     gc = (hb // 2) // 8
     half8 = (by // 2) // 8
-    kernel = _make_k_up_block(nx, ny, cd, cx, cy, cs, by, wb, mask_mode, ch, nb)
+    kernel = _make_k_up_block(nx, ny, cd, cx, cy, cs, by, wb, mask_mode, ch,
+                              nb, with_dot)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -230,21 +244,25 @@ def _k_up_call(offs, b, hbup, hbdn, ec, hecup, hecdn, *, nx, ny, cd, cx, cy,
             pl.BlockSpec((8, wb), lambda i, o: (0, 0)),
             pl.BlockSpec((8, wb), lambda i, o: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((by, wb), lambda i, o: (i, 0)),
+        out_specs=(
+            pl.BlockSpec((by, wb), lambda i, o: (i, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i, o: (i, 0, 0)),
+        )
+        if with_dot
+        else pl.BlockSpec((by, wb), lambda i, o: (i, 0)),
     )
+    out_shape = jax.ShapeDtypeStruct((hb, wb), b.dtype)
+    if with_dot:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((nb, 8, 128), b.dtype))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hb, wb), b.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
     )(offs, b, b, b, hbup, hbdn, ec, ec, ec, hecup, hecdn)
 
 
-def _embed_rows(rows_arr, w, index, dtype):
-    """Place a (k, w) slab at sublane ``index`` of an (8, w) group."""
-    out = jnp.zeros((8, w), dtype)
-    return lax.dynamic_update_slice(out, rows_arr, (index, 0))
 
 
 @dataclass(frozen=True, eq=False)
@@ -296,8 +314,8 @@ class _ShardedFusedLevel:
         rr = _k_down_call(
             offs,
             b,
-            _embed_rows(hup2, wb, 6, b.dtype),
-            _embed_rows(hdn1, wb, 0, b.dtype),
+            _embed_row(hup2, wb, 6),
+            _embed_row(hdn1, wb, 0),
             nx=self.nx, ny=self.ny, cd=cd, cx=cx, cy=cy, cs=cs, by=self.by,
             mask_mode=self.mask_mode, nb=hb // self.by,
             interpret=self.interpret,
@@ -322,7 +340,7 @@ class _ShardedFusedLevel:
         p = jnp.stack([eccol, odd], axis=2).reshape(bcol.shape[0], 1)
         return jnp.where(predcol, self.cs * bcol + p, 0.0)
 
-    def _up_block(self, b, ec, ay, ax):
+    def _up_block(self, b, ec, ay, ax, with_dot=False):
         cd, cx, cy = self.coeffs
         cs = self.cs
         hb, wb = self.block_shape
@@ -360,32 +378,41 @@ class _ShardedFusedLevel:
         rcolx = lax.ppermute(xcol_f, ax, perm=_bwd(ax))  # xc(m, Wb)
 
         offs = jnp.stack([roff, coff, goff])
-        out = _k_up_call(
+        outs = _k_up_call(
             offs,
             b,
-            _embed_rows(hbup, wb, 7, b.dtype),
-            _embed_rows(hbdn, wb, 0, b.dtype),
+            _embed_row(hbup, wb, 7),
+            _embed_row(hbdn, wb, 0),
             ec,
-            _embed_rows(hecup, wb, 7, b.dtype),
-            _embed_rows(hecdn, wb, 0, b.dtype),
+            _embed_row(hecup, wb, 7),
+            _embed_row(hecdn, wb, 0),
             nx=self.nx, ny=self.ny, cd=cd, cx=cx, cy=cy, cs=cs, by=self.by,
             mask_mode=self.mask_mode, ch=self.ch, nb=hb // self.by,
-            interpret=self.interpret,
+            interpret=self.interpret, with_dot=with_dot,
         )
+        out, dot_p = outs if with_dot else (outs, None)
         # post-smooth lane-neighbor terms: out_true = out_kernel − (ω/d)·cx·xc(m,∓1)
         dl = jnp.where(pred(rows, coff), -cs * cx * lcolx, 0.0)
         dr = jnp.where(pred(rows, coff + wb - 1), -cs * cx * rcolx, 0.0)
         out = out.at[:, :1].add(dl)
         out = out.at[:, -1:].add(dr)
+        if with_dot:
+            # (b, out) with the kernel's excluded edge lanes re-added from
+            # the corrected columns, psum-replicated: the PCG rz for free on
+            # the finest K_up (cf. single-chip FusedLevelKernels.up with_dot)
+            axes_all = (ay if isinstance(ay, tuple) else (ay,)) + (ax,)
+            local = (
+                jnp.sum(dot_p[:, 0, 0])
+                + jnp.sum(b[:, :1] * out[:, :1])
+                + jnp.sum(b[:, -1:] * out[:, -1:])
+            )
+            return out, lax.psum(local, axes_all)
         return out
 
     # --- global entry points ------------------------------------------------
 
     def _axes(self, mesh):
-        names = mesh.axis_names
-        ay = names[0] if len(names) == 2 else tuple(names[:-1])
-        ax = names[-1]
-        return ay, ax
+        return mesh_lib.row_col_axes(mesh)
 
     def down(self, mesh, b):
         ay, ax = self._axes(mesh)
@@ -395,12 +422,15 @@ class _ShardedFusedLevel:
             mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False,
         )(b)
 
-    def up(self, mesh, b, ec_lanes):
+    def up(self, mesh, b, ec_lanes, with_dot=False):
+        from jax.sharding import PartitionSpec as P
+
         ay, ax = self._axes(mesh)
         spec = mesh_lib.field_spec(mesh, 2)
         return jax.shard_map(
-            lambda bb, ee: self._up_block(bb, ee, ay, ax),
-            mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False,
+            lambda bb, ee: self._up_block(bb, ee, ay, ax, with_dot),
+            mesh=mesh, in_specs=(spec, spec),
+            out_specs=(spec, P()) if with_dot else spec, check_vma=False,
         )(b, ec_lanes)
 
 
@@ -506,7 +536,7 @@ class ShardedFusedMultigrid:
         z = self.inner._vcycle(li, b[:h, :w])
         return jnp.pad(z, ((0, b.shape[0] - h), (0, b.shape[1] - w)))
 
-    def _vc(self, li: int, b: jnp.ndarray) -> jnp.ndarray:
+    def _vc(self, li: int, b: jnp.ndarray, with_dot: bool = False):
         if li == len(self.levels):
             return self._remainder(li, b)
         lev = self.levels[li]
@@ -520,7 +550,7 @@ class ShardedFusedMultigrid:
         rc = jnp.where(_interior_pred(lev.mask_mode, cnx, cny)(ri, ci), rc, 0.0)
         ec = self._vc(li + 1, rc)
         ecl = lane_prolong(ec, lev.nx // 2, lev.padded_shape[1])
-        return lev.up(self.mesh, b, ecl)
+        return lev.up(self.mesh, b, ecl, with_dot=with_dot)
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         if not self.levels:
@@ -536,3 +566,18 @@ class ShardedFusedMultigrid:
                 return self._vc(0, r)
         # non-f32 (escalated f64 polish): jnp inner V-cycle on the cropped grid
         return self._remainder(0, r)
+
+    def call_with_dot(self, r: jnp.ndarray):
+        """``(M r, (r, M r))`` with the dot fused into the finest K_up's
+        epilogue — the sharded counterpart of the single-chip
+        PaddedPreconditioner.call_with_dot: the PCG's (r, w) reduction rides
+        the post-smooth write instead of re-reading two fields from HBM."""
+        if (
+            not self.levels
+            or tuple(r.shape) != self.levels[0].padded_shape
+            or r.dtype != jnp.float32
+        ):
+            w = self(r)
+            return w, jnp.sum(r * w)
+        with jax.enable_x64(False):
+            return self._vc(0, r, with_dot=True)

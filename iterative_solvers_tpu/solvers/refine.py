@@ -542,6 +542,50 @@ def fused_refined_solve(
             engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer, bp, up
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
+    return _finish_refined(
+        stats, x, stop=stop, t0=t0, phase=phase, profiler=profiler,
+        max_outer=max_outer, A_hi=A_hi, A_lo=A_hi, b=bp, u_true=up,
+        preconditioner=M_padded, inner_rel_tol=inner_rel_tol,
+        inner_max_iter=inner_max_iter, crop=pop.crop,
+    )
+
+
+def _join_history(dev_hist, cont_hist, inner_offset: int):
+    """Concatenate the device-IR per-outer history with the escalated
+    continuation's (whose inner-iteration column restarts at zero)."""
+    if cont_hist is None:
+        return dev_hist
+    cont = np.asarray(cont_hist, dtype=np.float64).copy()
+    cont[:, 0] += inner_offset
+    if dev_hist is None:
+        return cont
+    return np.concatenate([dev_hist, cont], axis=0)
+
+
+def _finish_refined(
+    stats,
+    x,
+    *,
+    stop: StopConfig,
+    t0: float,
+    phase,
+    profiler,
+    max_outer: int,
+    A_hi,
+    A_lo,
+    b,
+    u_true,
+    preconditioner,
+    inner_rel_tol: float,
+    inner_max_iter: int,
+    crop=None,
+):
+    """Shared tail of the one-dispatch IR solvers: unpack the packed stats
+    vector, run the escalated f64 polish host-side if the f32 ladder left the
+    criteria unmet, and assemble the :class:`RefinedResult`.
+
+    ``crop`` (optional) maps the working layout back to the user layout —
+    the fused single-chip path solves on the Pallas padded layout."""
     k_out, total_inner = int(stats[0]), int(stats[1])
     done, reason = bool(stats[2]), StopReason(int(stats[3]))
     r_max, prec, err = float(stats[4]), float(stats[5]), float(stats[6])
@@ -557,21 +601,22 @@ def fused_refined_solve(
         and total_inner < stop.max_iterations
     ):
         # f32 ladder exhausted (outer budget or stall): escalated polish
-        # f32 floor: continue host-side with the precision ladder from x
+        # continues host-side with the precision ladder from x
         with phase("escalated_polish"):
             res = refined_solve(
                 A_hi,
-                A_hi,
-                bp,
-                u_true=up,
+                A_lo,
+                b,
+                u_true=u_true,
                 stop=stop,
-                preconditioner=M_padded,
+                preconditioner=preconditioner,
                 inner_rel_tol=inner_rel_tol,
                 inner_max_iter=inner_max_iter,
                 x0=x,
                 profiler=profiler,
             )
-        res.x = pop.crop(res.x)
+        if crop is not None:
+            res.x = crop(res.x)
         res.iterations += total_inner
         res.outer_iterations += k_out
         res.escalated = True
@@ -580,7 +625,7 @@ def fused_refined_solve(
         return res
 
     return RefinedResult(
-        x=pop.crop(x),
+        x=crop(x) if crop is not None else x,
         iterations=total_inner,
         converged=bool(done and reason.converged),
         reason=reason,
@@ -595,18 +640,6 @@ def fused_refined_solve(
         inner_iterations=None,
         escalated=False,
     )
-
-
-def _join_history(dev_hist, cont_hist, inner_offset: int):
-    """Concatenate the device-IR per-outer history with the escalated
-    continuation's (whose inner-iteration column restarts at zero)."""
-    if cont_hist is None:
-        return dev_hist
-    cont = np.asarray(cont_hist, dtype=np.float64).copy()
-    cont[:, 0] += inner_offset
-    if dev_hist is None:
-        return cont
-    return np.concatenate([dev_hist, cont], axis=0)
 
 
 from functools import lru_cache
@@ -658,55 +691,11 @@ def engine_refined_solve(
             u_true,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
-    k_out, total_inner = int(stats[0]), int(stats[1])
-    done, reason = bool(stats[2]), StopReason(int(stats[3]))
-    r_max, prec, err = float(stats[4]), float(stats[5]), float(stats[6])
-    r_norm = math.sqrt(max(float(stats[7]), 0.0))
-    r0_norm = float(stats[8])
-    hist = stats[9:].reshape(max_outer, 5)[:k_out].copy() if k_out else None
-    if profiler is not None:
-        profiler.count("iterations", total_inner)
-
-    if (
-        not done
-        and reason == StopReason.ITERATIONS
-        and total_inner < stop.max_iterations
-    ):
-        with phase("escalated_polish"):
-            res = refined_solve(
-                A_hi,
-                A_hi,
-                b,
-                u_true=u_true,
-                stop=stop,
-                preconditioner=engine.M,
-                inner_rel_tol=inner_rel_tol,
-                inner_max_iter=inner_max_iter,
-                x0=x,
-                profiler=profiler,
-            )
-        res.iterations += total_inner
-        res.outer_iterations += k_out
-        res.escalated = True
-        res.elapsed_s = time.perf_counter() - t0
-        res.history = _join_history(hist, res.history, total_inner)
-        return res
-
-    return RefinedResult(
-        x=x,
-        iterations=total_inner,
-        converged=bool(done and reason.converged),
-        reason=reason,
-        precision_max=prec,
-        residual_max=r_max,
-        error_max=err,
-        residual_norm=r_norm,
-        initial_residual_norm=r0_norm,
-        elapsed_s=time.perf_counter() - t0,
-        history=hist,
-        outer_iterations=k_out,
-        inner_iterations=None,
-        escalated=False,
+    return _finish_refined(
+        stats, x, stop=stop, t0=t0, phase=phase, profiler=profiler,
+        max_outer=max_outer, A_hi=A_hi, A_lo=A_hi, b=b, u_true=u_true,
+        preconditioner=engine.M, inner_rel_tol=inner_rel_tol,
+        inner_max_iter=inner_max_iter,
     )
 
 
@@ -798,54 +787,9 @@ def device_refined_solve(
             max_outer, b, u_true,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
-    k_out, total_inner = int(stats[0]), int(stats[1])
-    done, reason = bool(stats[2]), StopReason(int(stats[3]))
-    r_max, prec, err = float(stats[4]), float(stats[5]), float(stats[6])
-    r_norm = math.sqrt(max(float(stats[7]), 0.0))
-    r0_norm = float(stats[8])
-    hist = stats[9:].reshape(max_outer, 5)[:k_out].copy() if k_out else None
-    if profiler is not None:
-        profiler.count("iterations", total_inner)
-
-    if (
-        not done
-        and reason == StopReason.ITERATIONS
-        and total_inner < stop.max_iterations
-    ):
-        # f32 ladder exhausted (outer budget or stall): escalated polish
-        with phase("escalated_polish"):
-            res = refined_solve(
-                A_hi,
-                A_lo,
-                b,
-                u_true=u_true,
-                stop=stop,
-                preconditioner=preconditioner,
-                inner_rel_tol=inner_rel_tol,
-                inner_max_iter=inner_max_iter,
-                x0=x,
-                profiler=profiler,
-            )
-        res.iterations += total_inner
-        res.outer_iterations += k_out
-        res.escalated = True
-        res.elapsed_s = time.perf_counter() - t0
-        res.history = _join_history(hist, res.history, total_inner)
-        return res
-
-    return RefinedResult(
-        x=x,
-        iterations=total_inner,
-        converged=bool(done and reason.converged),
-        reason=reason,
-        precision_max=prec,
-        residual_max=r_max,
-        error_max=err,
-        residual_norm=r_norm,
-        initial_residual_norm=r0_norm,
-        elapsed_s=time.perf_counter() - t0,
-        history=hist,
-        outer_iterations=k_out,
-        inner_iterations=None,
-        escalated=False,
+    return _finish_refined(
+        stats, x, stop=stop, t0=t0, phase=phase, profiler=profiler,
+        max_outer=max_outer, A_hi=A_hi, A_lo=A_lo, b=b, u_true=u_true,
+        preconditioner=preconditioner, inner_rel_tol=inner_rel_tol,
+        inner_max_iter=inner_max_iter,
     )

@@ -89,8 +89,15 @@ def test_mesh_operator_validation():
     from iterative_solvers_tpu.parallel import make_solver_mesh
 
     mesh = make_solver_mesh(devices=jax.devices())
-    # sparse/fused stay rejected; 'pallas' is the round-3 sharded fast path
-    for op in ("sparse", "fused"):
-        with pytest.raises(ValueError):
-            DirichletSolver(nx=8, ny=8, operator=op, mesh=mesh)
-    DirichletSolver(nx=8, ny=8, operator="pallas", mesh=mesh)  # now valid
+    # sparse stays rejected; 'pallas'/'fused' are the round-3 sharded fast path
+    with pytest.raises(ValueError):
+        DirichletSolver(nx=8, ny=8, operator="sparse", mesh=mesh)
+    DirichletSolver(nx=8, ny=8, operator="pallas", mesh=mesh)
+    DirichletSolver(nx=8, ny=8, operator="fused", mesh=mesh)
+    # the sharded fused engine is 2D-only
+    from iterative_solvers_tpu.core.domain import Domain3D
+
+    with pytest.raises(ValueError, match="2D-only"):
+        DirichletSolver(
+            domain=Domain3D(nx=8, ny=8, nz=8), operator="fused", mesh=mesh
+        )

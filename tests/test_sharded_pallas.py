@@ -273,8 +273,14 @@ def test_facade_mesh_pallas_validation():
             operator="pallas",
             mesh=mesh,
         )
-    with pytest.raises(ValueError, match="requires operator="):
-        DirichletSolver(nx=16, ny=16, operator="fused", mesh=mesh)
+    # mesh + 'fused' is valid since the sharded engine landed; 3D is not
+    DirichletSolver(nx=16, ny=16, operator="fused", mesh=mesh)
+    from iterative_solvers_tpu.core.domain import Domain3D
+
+    with pytest.raises(ValueError, match="2D-only"):
+        DirichletSolver(
+            domain=Domain3D(nx=8, ny=8, nz=8), operator="fused", mesh=mesh
+        )
 
 
 def test_sharded_fused_vcycle_hybrid_mesh():
@@ -478,3 +484,28 @@ def test_facade_mesh_pallas_3d():
         stop=StopConfig(eps_precision=-1, eps_residual=1e-7, max_iterations=10000),
     ).solve(record_history=False)
     assert r2.converged and r2.residual_norm < 1e-7
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
+@pytest.mark.parametrize("shape", ["gamma", "rect"])
+def test_sharded_fused_vcycle_call_with_dot(mesh_shape, shape):
+    """The PCG (r, w) dot fused into the finest sharded K_up's epilogue
+    matches the separate two-field reduction exactly on w and to f32
+    round-off on the dot."""
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+
+    dom = Domain2D(nx=64, ny=64, shape=shape)
+    mesh = make_solver_mesh(8, mesh_shape)
+    op = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=16)
+    M = ShardedFusedMultigrid.from_operator(op, dom, fuse_min_extent=33)
+    assert len(M.levels) >= 1
+    rng = np.random.default_rng(3)
+    r = np.where(
+        np.asarray(dom.interior), rng.standard_normal(dom.grid_shape), 0
+    ).astype(np.float32)
+    rs = op.shard(r)
+    w_ref = M(rs)
+    dot_ref = float(jnp.sum(rs * w_ref))
+    w, rz = M.call_with_dot(rs)
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w_ref))
+    np.testing.assert_allclose(float(rz), dot_ref, rtol=1e-5)

@@ -138,6 +138,33 @@ def run_suite(x64: bool, results: dict) -> None:
         lambda: jnp.sum(jax.jit(Ms)(ops.shard(b))),
         results,
     )
+    # V-cycle with the fused (r, w) dot epilogue on the finest K_up
+    _check(
+        f"sharded_mg_dot[{tag}]",
+        lambda: jax.jit(Ms.call_with_dot)(ops.shard(b))[1],
+        results,
+    )
+    # sharded fused K1/K2 engine: two MSG iterations + two PCG iterations
+    from iterative_solvers_tpu.parallel.cg_fused_sharded import (
+        sharded_fused_cg_solve,
+    )
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    stop2 = StopConfig(eps_precision=-1, eps_residual=-1, max_iterations=2)
+    _check(
+        f"sharded_cg_engine[{tag}]",
+        lambda: sharded_fused_cg_solve(
+            ops, b, options=CGOptions(stop=stop2)
+        ).residual_norm,
+        results,
+    )
+    _check(
+        f"sharded_pcg_engine[{tag}]",
+        lambda: sharded_fused_cg_solve(
+            ops, b, options=CGOptions(stop=stop2, preconditioner=Ms)
+        ).residual_norm,
+        results,
+    )
 
 
 def main() -> int:
