@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--save-matrix", metavar="PATH", help="CSR matrix + RHS dump")
     s.add_argument("--save-3d", metavar="PATH", help="gnuplot x y z export")
     s.add_argument("--plots", metavar="DIR", help="write convergence/scatter/heatmap/surface PNGs")
+    s.add_argument("--html", metavar="PATH",
+                   help="write a standalone interactive HTML explorer "
+                   "(rotatable 3D surface, hover heatmap, convergence chart)")
     s.add_argument("--report", action="store_true", help="print the full text report")
     s.add_argument("--profile", action="store_true",
                    help="print per-phase timings + throughput to stderr")
@@ -114,6 +117,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "the text format; the reference domain is gamma)")
     v.add_argument("--plots", metavar="DIR",
                    help="write the same PNG set as 'solve --plots'")
+    v.add_argument("--html", metavar="PATH",
+                   help="write the standalone interactive HTML explorer")
     v.add_argument("--report", action="store_true",
                    help="print the full text report (default when no other "
                    "output is requested)")
@@ -236,6 +241,12 @@ def cmd_solve(args) -> int:
         results_io.save_solution_3d(args.save_3d, res)
     if args.plots:
         _write_plots(res, dom, args.plots, args.quiet)
+    if args.html:
+        from iterative_solvers_tpu.viz_html import export_html
+
+        export_html(res, dom, args.html)
+        if not args.quiet:
+            print(f"interactive explorer written to {args.html}", file=sys.stderr)
     for q in args.print_vectors:
         from iterative_solvers_tpu.report import vector_table
 
@@ -299,6 +310,12 @@ def cmd_view(args) -> int:
     did_output = False
     if args.plots:
         _write_plots(res, dom, args.plots, quiet=False)
+        did_output = True
+    if args.html:
+        from iterative_solvers_tpu.viz_html import export_html
+
+        export_html(res, dom, args.html)
+        print(f"interactive explorer written to {args.html}", file=sys.stderr)
         did_output = True
     for q in args.print_vectors:
         print(vector_table(res, q, limit=args.limit))
