@@ -320,7 +320,9 @@ def _traced_inner_eta(stop: StopConfig, inner_rel_tol: float, r_hi, r0_norm):
     ).astype(jnp.float32)
 
 
-def _outer_refine_loop(A_hi, stop: StopConfig, max_outer: int, b, u_true, inner_solve):
+def _outer_refine_loop(
+    A_hi, stop: StopConfig, max_outer: int, b, u_true, inner_solve, x0=None
+):
     """Shared outer refinement while_loop of the device-side IR programs.
 
     ``inner_solve: r_hi -> (d_f32, k_inner)``. Evaluates all five reference
@@ -405,10 +407,18 @@ def _outer_refine_loop(A_hi, stop: StopConfig, max_outer: int, b, u_true, inner_
         )
 
     big = jnp.asarray(jnp.inf, b.dtype)
+    if x0 is None:
+        x_init, r_init = jnp.zeros_like(b), b
+    else:
+        # FMG (or other) warm start: the loop's invariants only need the
+        # matching true residual; its cost (~1.5 V-cycles) is not counted in
+        # total_inner, mirroring how outer residual evaluations are not.
+        x_init = x0.astype(b.dtype)
+        r_init = b - A_hi(x_init)
     c0 = (
-        jnp.zeros_like(b), b, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        x_init, r_init, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         false, jnp.asarray(int(StopReason.ITERATIONS), jnp.int32), big,
-        jnp.max(jnp.abs(-u_true)) if u_true is not None else big,
+        jnp.max(jnp.abs(x_init - u_true)) if u_true is not None else big,
         big, false, jnp.zeros((max_outer, 5), b.dtype),
     )
     x, r, k_out, total_inner, done, reason, prec, err, _, _, hist = lax.while_loop(
@@ -435,7 +445,7 @@ def _outer_refine_loop(A_hi, stop: StopConfig, max_outer: int, b, u_true, inner_
     return x, r, stats
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _device_ir(
     engine,  # kernels.cg_fused.FusedCGEngine with its V-cycle M (f32, padded)
     A_hi,  # high-precision operator on the SAME padded layout
@@ -443,6 +453,7 @@ def _device_ir(
     inner_rel_tol: float,
     inner_max_iter: int,
     max_outer: int,
+    fmg: bool,  # FMG initial guess (multigrid.fmg) instead of x0 = 0
     b,  # padded f64 RHS
     u_true,  # padded f64 exact solution or None
 ):
@@ -499,7 +510,11 @@ def _device_ir(
         s = lax.while_loop(icond, ibody, s0)
         return s.x, s.k
 
-    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve)
+    x0 = None
+    fmg_fn = getattr(M, "fmg", None) if fmg else None
+    if fmg_fn is not None:
+        x0 = fmg_fn(b.astype(f32))
+    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
 
 
 def fused_refined_solve(
@@ -512,6 +527,7 @@ def fused_refined_solve(
     inner_rel_tol: float = 1e-4,
     inner_max_iter: int = 200,
     max_outer: int = 8,
+    fmg: bool = False,
     profiler=None,
 ) -> RefinedResult:
     """Mixed-precision refinement with the WHOLE loop on device.
@@ -539,7 +555,8 @@ def fused_refined_solve(
 
     with phase("device_ir"):
         x, r, stats_dev = _device_ir(
-            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer, bp, up
+            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer, fmg,
+            bp, up,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
     return _finish_refined(
@@ -669,6 +686,7 @@ def engine_refined_solve(
     inner_rel_tol: float = 1e-4,
     inner_max_iter: int = 200,
     max_outer: int = 8,
+    fmg: bool = False,
     profiler=None,
 ) -> RefinedResult:
     """One-dispatch mixed-precision refinement around any fused engine.
@@ -687,8 +705,8 @@ def engine_refined_solve(
     )
     with phase("device_ir"):
         x, r, stats_dev = _device_ir(
-            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer, b,
-            u_true,
+            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer, fmg,
+            b, u_true,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
     return _finish_refined(
@@ -699,7 +717,7 @@ def engine_refined_solve(
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _device_ir_generic(
     A_hi,  # high-precision operator
     A_lo,  # f32 operator, same field shape
@@ -708,6 +726,7 @@ def _device_ir_generic(
     inner_rel_tol: float,
     inner_max_iter: int,
     max_outer: int,
+    fmg: bool,  # FMG initial guess (multigrid.fmg) instead of x0 = 0
     b,
     u_true,
 ):
@@ -751,7 +770,11 @@ def _device_ir_generic(
         )
         return x, k
 
-    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve)
+    x0 = None
+    fmg_fn = getattr(M, "fmg", None) if fmg else None
+    if fmg_fn is not None:
+        x0 = fmg_fn(b.astype(f32))
+    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
 
 
 def device_refined_solve(
@@ -765,6 +788,7 @@ def device_refined_solve(
     inner_rel_tol: float = 1e-4,
     inner_max_iter: int = 200,
     max_outer: int = 8,
+    fmg: bool = False,
     profiler=None,
 ) -> RefinedResult:
     """Generic one-dispatch mixed-precision refinement (cf.
@@ -784,7 +808,7 @@ def device_refined_solve(
     with phase("device_ir"):
         x, r, stats_dev = _device_ir_generic(
             A_hi, A_lo, preconditioner, stop, inner_rel_tol, inner_max_iter,
-            max_outer, b, u_true,
+            max_outer, fmg, b, u_true,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
     return _finish_refined(

@@ -1,0 +1,126 @@
+"""Full multigrid (nested iteration) — multigrid.with_fmg/fmg and its use as
+the warm start of the device-IR refinement ladder (refine.py fmg=True).
+
+Extension beyond the reference (which has only plain CG). The FMG contract:
+with the per-problem payload (rediscretized per-level RHS + BC-aware
+prolongation), ONE O(N) pass lands the error at the discretization level —
+the optimal route to the reference's EXACT_ERROR criterion class
+(reference solver/msg_solver.cpp:157-162).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+from iterative_solvers_tpu.core.problem import PoissonProblem
+from iterative_solvers_tpu.ops.stencil import StencilOperator
+from iterative_solvers_tpu.solvers.multigrid import MultigridPreconditioner
+from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+
+def _setup(n, shape="gamma", dtype=jnp.float64):
+    dom = Domain2D(nx=n, ny=n, shape=shape)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    b = prob.rhs_field(dtype)
+    return dom, prob, op, b
+
+
+@pytest.mark.parametrize("shape", ["gamma", "rect"])
+def test_fmg_lands_at_discretization_error(shape):
+    dom, prob, op, b = _setup(64, shape)
+    M = MultigridPreconditioner.from_domain(dom).with_fmg(prob, dtype=jnp.float64)
+    x = M.fmg(b)
+    # error at the discretization level in one pass (observed constant
+    # ~60/n² max-norm for the manufactured problem, .claude verify notes)
+    u = prob.true_solution_field(jnp.float64)
+    err = float(jnp.max(jnp.abs(jnp.where(jnp.asarray(dom.interior), x - u, 0.0))))
+    assert err < 1.5 * 60.0 / dom.nx**2, err
+    # and >2 decades of relative residual (the warm-start currency)
+    rel = float(jnp.linalg.norm(b - op(x)) / jnp.linalg.norm(b))
+    assert rel < 5e-3, rel
+
+
+def test_fmg_algebraic_fallback_without_payload():
+    """Without with_fmg, fmg still runs (restricted RHS, zero-BC
+    prolongation) but is only a mild warm start — document that contract."""
+    dom, prob, op, b = _setup(64)
+    M = MultigridPreconditioner.from_domain(dom)
+    x = M.fmg(b)
+    rel = float(jnp.linalg.norm(b - op(x)) / jnp.linalg.norm(b))
+    assert rel < 0.5, rel
+
+
+def test_fmg_fallback_is_linear():
+    dom, prob, op, b = _setup(32)
+    M = MultigridPreconditioner.from_domain(dom)
+    b2 = jnp.where(jnp.asarray(dom.interior), jnp.sin(7.0 * b), 0.0)
+    x_sum = M.fmg(b + 2.5 * b2)
+    x_parts = M.fmg(b) + 2.5 * M.fmg(b2)
+    np.testing.assert_allclose(
+        np.asarray(x_sum), np.asarray(x_parts), rtol=1e-10, atol=1e-10
+    )
+
+
+def test_fmg_3d():
+    """3D: the manufactured exp(xyz) problem is much sharper than the 2D one
+    (u spans e¹..e⁸ on [1,2]³), so the per-level interpolation constant is
+    large and FMG needs n_vcycles > 1 of polish — each extra V-cycle must
+    contract the error by ~3x toward the discretization level (measured:
+    43x/15x/6x of disc error for nv=1/2/3 at 16³)."""
+    dom = Domain3D(nx=16, ny=16, nz=16, x0=1, x1=2, y0=1, y1=2, z0=1, z1=2)
+    prob = PoissonProblem.manufactured(dom)
+    op = StencilOperator.from_domain(dom)
+    b = prob.rhs_field(jnp.float64)
+    M = MultigridPreconditioner.from_domain(dom).with_fmg(prob, dtype=jnp.float64)
+    u = prob.true_solution_field(jnp.float64)
+    interior = jnp.asarray(dom.interior)
+    disc = 0.575  # measured tight-solve discretization error at 16³
+    errs = []
+    for nv in (1, 2, 3):
+        x = M.fmg(b, n_vcycles=nv)
+        errs.append(
+            float(jnp.max(jnp.abs(jnp.where(interior, x - u, 0.0))))
+        )
+    assert errs[2] < errs[1] < errs[0], errs
+    assert errs[2] < 8 * disc, errs
+    rel = float(jnp.linalg.norm(b - op(M.fmg(b))) / jnp.linalg.norm(b))
+    assert rel < 5e-2, rel  # >1.5 residual decades even at nv=1
+
+
+def test_fmg_error_shrinks_like_h2():
+    """FMG output must track the O(h²) discretization error, not stall."""
+    errs = {}
+    for n in (32, 64):
+        dom, prob, op, b = _setup(n)
+        M = MultigridPreconditioner.from_domain(dom).with_fmg(
+            prob, dtype=jnp.float64
+        )
+        u = prob.true_solution_field(jnp.float64)
+        x = M.fmg(b)
+        errs[n] = float(
+            jnp.max(jnp.abs(jnp.where(jnp.asarray(dom.interior), x - u, 0.0)))
+        )
+    assert errs[64] < errs[32] / 2.5, errs  # ~4x expected for h -> h/2
+
+
+def test_device_ir_fmg_converges_same_criterion():
+    """Generic device-IR ladder, cold vs FMG start: both converge to the
+    relative criterion; the FMG start must not take MORE inner iterations."""
+    from iterative_solvers_tpu.solvers.refine import device_refined_solve
+
+    dom, prob, op, b = _setup(128)
+    M = MultigridPreconditioner.from_domain(dom).with_fmg(prob)
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-8, max_iterations=10000
+    )
+    cold = device_refined_solve(op, op, b, preconditioner=M, stop=stop, fmg=False)
+    warm = device_refined_solve(op, op, b, preconditioner=M, stop=stop, fmg=True)
+    for res in (cold, warm):
+        assert res.converged
+        assert res.residual_norm / res.initial_residual_norm < 1e-8 * 10
+    assert warm.iterations <= cold.iterations, (warm.iterations, cold.iterations)
+    np.testing.assert_allclose(
+        np.asarray(warm.x), np.asarray(cold.x), rtol=0, atol=1e-7
+    )
