@@ -238,10 +238,13 @@ def _bench_solve(n: int, on_tpu: bool) -> None:
         from iterative_solvers_tpu.solvers.refine import fused_refined_solve
 
         pop = PallasStencilOperator.from_domain(dom)
-        Mp = PaddedPreconditioner(inner=M, padded_op=pop)
+        # FMG warm start (round 3): one nested-iteration pass lands ~3
+        # residual decades, cutting the ladder from 2x[4,4] to 1x[2] inner
+        # PCG iterations — measured 0.242 -> 0.155 s warm at 8192²
+        Mp = PaddedPreconditioner(inner=M.with_fmg(prob), padded_op=pop)
 
         def run_solve():
-            return fused_refined_solve(pop, Mp, b64, stop=stop)
+            return fused_refined_solve(pop, Mp, b64, stop=stop, fmg=True)
 
     else:
 
@@ -358,12 +361,14 @@ def _bench_solve_3d(n: int) -> None:
     A_hi3 = StencilOperator(
         jnp.asarray(pop3.interior_padded()), pop3.coeffs, ndim=3
     )
-    Mp3 = PaddedPreconditioner(inner=M, padded_op=pop3)
+    # FMG warm start (round 3): on [0,1]³ the manufactured exp(xyz) is mild,
+    # so one nested-iteration pass buys ~3 residual decades here too
+    Mp3 = PaddedPreconditioner(inner=M.with_fmg(prob), padded_op=pop3)
     b64p = pop3.pad(b64)
 
     def run_3d():
         return device_refined_solve(
-            A_hi3, pop3, b64p, stop=stop, preconditioner=Mp3
+            A_hi3, pop3, b64p, stop=stop, preconditioner=Mp3, fmg=True
         )
 
     run_3d()  # compile

@@ -74,6 +74,26 @@ class SolverResults:
         return results_report(self)
 
 
+def _attach_fmg(M, problem):
+    """Attach the FMG payload (multigrid.with_fmg) to the MG preconditioner
+    inside adapter ``M``, recursing through the padded/sharded wrappers.
+    Adapters without an underlying rediscretizable hierarchy pass through
+    unchanged (their ladders simply start cold)."""
+    from dataclasses import replace as dc_replace
+
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+        ShardedMultigridPreconditioner,
+    )
+
+    if isinstance(M, (PaddedPreconditioner, ShardedMultigridPreconditioner)):
+        return dc_replace(M, inner=_attach_fmg(M.inner, problem))
+    if isinstance(M, MultigridPreconditioner) and M.domains:
+        return M.with_fmg(problem)
+    return M
+
+
 class DirichletSolver:
     """Facade: Г-domain Dirichlet-Poisson + CG with reference semantics.
 
@@ -406,6 +426,14 @@ class DirichletSolver:
                     )
 
                     M = PaddedPreconditioner(inner=M, padded_op=A)
+                if self.precision == "mixed":
+                    # FMG warm start for the refinement ladder: one O(N)
+                    # nested-iteration pass lands ~3 residual decades, cutting
+                    # the 8192² headline from 2x[4,4] to 1x[2] inner PCG
+                    # iterations (measured 0.242 -> 0.155 s, NOTES_PERF.md
+                    # round 3). Payload attach only where supported (the
+                    # sharded fused V-cycle has no FMG path yet).
+                    M = _attach_fmg(M, self.problem)
                 self._M = M
                 self._M_key = (self.preconditioner, id(A))
             M = self._M
@@ -492,6 +520,7 @@ class DirichletSolver:
                     b64,
                     u_true=u64,
                     stop=self.stop,
+                    fmg=True,
                     profiler=profiler,
                 )
             elif use_fused_ir:
@@ -517,6 +546,7 @@ class DirichletSolver:
                     b64,
                     u_true=u64,
                     stop=self.stop,
+                    fmg=True,
                     profiler=profiler,
                 )
             elif use_device_ir:
@@ -529,6 +559,7 @@ class DirichletSolver:
                     u_true=u64,
                     stop=self.stop,
                     preconditioner=M,
+                    fmg=True,
                     profiler=profiler,
                 )
             else:

@@ -105,6 +105,49 @@ def test_fmg_error_shrinks_like_h2():
     assert errs[64] < errs[32] / 2.5, errs  # ~4x expected for h -> h/2
 
 
+def test_fused_device_loop_fmg():
+    """The single-chip headline path (fused_refined_solve) with fmg=True:
+    fewer inner iterations, same criterion (interpret-mode kernels on CPU)."""
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
+    from iterative_solvers_tpu.solvers.refine import fused_refined_solve
+
+    dom, prob, op, b64 = _setup(32)
+    pop = PallasStencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom).with_fmg(prob)
+    Mp = PaddedPreconditioner(inner=M, padded_op=pop)
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-9, max_iterations=10000
+    )
+    cold = fused_refined_solve(pop, Mp, b64, stop=stop, fmg=False)
+    warm = fused_refined_solve(pop, Mp, b64, stop=stop, fmg=True)
+    for res in (cold, warm):
+        assert res.converged
+        assert res.residual_norm / res.initial_residual_norm < 1e-8
+    assert warm.iterations < cold.iterations, (warm.iterations, cold.iterations)
+
+
+def test_facade_attaches_fmg_payload():
+    """precision='mixed' + preconditioner='mg' must carry the FMG payload
+    through the facade's cached adapters (used by the device-IR paths)."""
+    from iterative_solvers_tpu import DirichletSolver
+    from iterative_solvers_tpu.api import _attach_fmg
+    from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
+
+    s = DirichletSolver(nx=32, ny=32, preconditioner="mg", precision="mixed")
+    res = s.solve()
+    assert res.converged
+    M = s._M
+    inner = M.inner if isinstance(M, PaddedPreconditioner) else M
+    assert inner.fmg_data is not None
+    # without mixed precision the payload is NOT paid for
+    s2 = DirichletSolver(nx=32, ny=32, preconditioner="mg")
+    s2.solve()
+    M2 = s2._M
+    inner2 = M2.inner if isinstance(M2, PaddedPreconditioner) else M2
+    assert inner2.fmg_data is None
+
+
 def test_device_ir_fmg_converges_same_criterion():
     """Generic device-IR ladder, cold vs FMG start: both converge to the
     relative criterion; the FMG start must not take MORE inner iterations."""
