@@ -91,6 +91,10 @@ def _attach_fmg(M, problem):
         return dc_replace(M, inner=_attach_fmg(M.inner, problem))
     if isinstance(M, MultigridPreconditioner) and M.domains:
         return M.with_fmg(problem)
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+
+    if isinstance(M, ShardedFusedMultigrid):
+        return M.with_fmg(problem)
     return M
 
 

@@ -567,6 +567,22 @@ class ShardedFusedMultigrid:
         # non-f32 (escalated f64 polish): jnp inner V-cycle on the cropped grid
         return self._remainder(0, r)
 
+    def with_fmg(self, problem, dtype=jnp.float32) -> "ShardedFusedMultigrid":
+        """A copy whose jnp inner hierarchy carries the FMG payload
+        (multigrid.with_fmg) — enables the FMG warm start of the mesh
+        engine-IR ladder (solvers/refine.py fmg=True)."""
+        return dataclasses.replace(
+            self, inner=self.inner.with_fmg(problem, dtype)
+        )
+
+    def fmg(self, r: jnp.ndarray, n_vcycles: int = 1) -> jnp.ndarray:
+        """FMG warm start on the mesh-padded layout. A one-off setup pass, so
+        it runs the jnp GSPMD hierarchy on the cropped global array (like
+        ``_remainder``) rather than the shard-fused kernels."""
+        h, w = self.grid_shape
+        x = self.inner.fmg(r[:h, :w], n_vcycles)
+        return jnp.pad(x, ((0, r.shape[0] - h), (0, r.shape[1] - w)))
+
     def call_with_dot(self, r: jnp.ndarray):
         """``(M r, (r, M r))`` with the dot fused into the finest K_up's
         epilogue — the sharded counterpart of the single-chip

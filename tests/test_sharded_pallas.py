@@ -414,6 +414,22 @@ def test_engine_refined_solve_over_mesh():
     assert res.converged
     assert res.residual_norm < 1e-8 * res.initial_residual_norm
     assert res.history is not None and res.history.shape[1] == 5
+    # FMG warm start over the mesh (round 3): payload attached to the jnp
+    # inner hierarchy, warm ladder must converge to the same criterion in
+    # no more inner iterations than the cold start
+    warm = engine_refined_solve(
+        engine.replace_M(M.with_fmg(prob)) if hasattr(engine, "replace_M")
+        else type(engine)(pop, M.with_fmg(prob)),
+        A_hi, b64,
+        stop=StopConfig(
+            eps_precision=-1.0, eps_residual=-1.0, eps_exact_error=-1.0,
+            eps_relative=1e-8, max_iterations=10000,
+        ),
+        fmg=True,
+    )
+    assert warm.converged
+    assert warm.residual_norm < 1e-8 * warm.initial_residual_norm
+    assert warm.iterations <= res.iterations, (warm.iterations, res.iterations)
 
 
 def test_facade_mesh_fused_paths():
