@@ -445,7 +445,28 @@ def _outer_refine_loop(
     return x, r, stats
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0,))
+def _fmg_start(M, b):
+    """FMG initial guess as its OWN compiled program.
+
+    Folding the FMG chain into the device-IR program looked free but XLA
+    compile time is superlinear in program size: the 512³ 3D bench blew
+    from ~5 min to >58 min of compile (measured 2026-08-17). As a separate
+    dispatch it costs no extra host round-trip — JAX dispatches are async
+    and only the IR program's final stats fetch blocks — and the IR program
+    keeps its known compile time. Memoized per (id-hashed) M like the other
+    jit statics."""
+    return M.fmg(b.astype(jnp.float32))
+
+
+def _maybe_fmg_x0(M, fmg: bool, b):
+    fmg_fn = getattr(M, "fmg", None) if fmg else None
+    if fmg_fn is None:
+        return None
+    return _fmg_start(M, b)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _device_ir(
     engine,  # kernels.cg_fused.FusedCGEngine with its V-cycle M (f32, padded)
     A_hi,  # high-precision operator on the SAME padded layout
@@ -453,9 +474,9 @@ def _device_ir(
     inner_rel_tol: float,
     inner_max_iter: int,
     max_outer: int,
-    fmg: bool,  # FMG initial guess (multigrid.fmg) instead of x0 = 0
     b,  # padded f64 RHS
     u_true,  # padded f64 exact solution or None
+    x0=None,  # optional f32 warm start (FMG), traced
 ):
     """The whole mixed-precision IR loop as ONE compiled program.
 
@@ -510,10 +531,6 @@ def _device_ir(
         s = lax.while_loop(icond, ibody, s0)
         return s.x, s.k
 
-    x0 = None
-    fmg_fn = getattr(M, "fmg", None) if fmg else None
-    if fmg_fn is not None:
-        x0 = fmg_fn(b.astype(f32))
     return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
 
 
@@ -554,9 +571,10 @@ def fused_refined_solve(
     up = pop.pad(jnp.asarray(u_true)) if u_true is not None else None
 
     with phase("device_ir"):
+        x0 = _maybe_fmg_x0(engine.M, fmg, bp)
         x, r, stats_dev = _device_ir(
-            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer, fmg,
-            bp, up,
+            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer,
+            bp, up, x0,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
     return _finish_refined(
@@ -704,9 +722,10 @@ def engine_refined_solve(
         profiler.phase if profiler is not None else (lambda name: contextlib.nullcontext())
     )
     with phase("device_ir"):
+        x0 = _maybe_fmg_x0(engine.M, fmg, b)
         x, r, stats_dev = _device_ir(
-            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer, fmg,
-            b, u_true,
+            engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer,
+            b, u_true, x0,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
     return _finish_refined(
@@ -717,7 +736,7 @@ def engine_refined_solve(
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _device_ir_generic(
     A_hi,  # high-precision operator
     A_lo,  # f32 operator, same field shape
@@ -726,9 +745,9 @@ def _device_ir_generic(
     inner_rel_tol: float,
     inner_max_iter: int,
     max_outer: int,
-    fmg: bool,  # FMG initial guess (multigrid.fmg) instead of x0 = 0
     b,
     u_true,
+    x0=None,  # optional f32 warm start (FMG), traced
 ):
     """Operator-agnostic variant of :func:`_device_ir`: the inner solve is
     the standard jnp PCG recurrence instead of the 2D fused engine, so any
@@ -770,10 +789,6 @@ def _device_ir_generic(
         )
         return x, k
 
-    x0 = None
-    fmg_fn = getattr(M, "fmg", None) if fmg else None
-    if fmg_fn is not None:
-        x0 = fmg_fn(b.astype(f32))
     return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
 
 
@@ -806,9 +821,10 @@ def device_refined_solve(
         profiler.phase if profiler is not None else (lambda name: contextlib.nullcontext())
     )
     with phase("device_ir"):
+        x0 = _maybe_fmg_x0(preconditioner, fmg, b)
         x, r, stats_dev = _device_ir_generic(
             A_hi, A_lo, preconditioner, stop, inner_rel_tol, inner_max_iter,
-            max_outer, fmg, b, u_true,
+            max_outer, b, u_true, x0,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
     return _finish_refined(
