@@ -352,6 +352,22 @@ class DirichletSolver:
             self._hi_op_key = id(A)
         return self._hi_op
 
+    def _fused_ir_parts(self, dom, M):
+        """(pallas op, padded M) for the fused device-IR path. When the
+        operator is already Pallas ('pallas'/'fused'), M has been adapted to
+        its padded layout upstream — reuse it; wrapping a second
+        PaddedPreconditioner around it would pad twice and break every field
+        shape in the trace."""
+        from iterative_solvers_tpu.kernels.stencil_pallas import (
+            PallasStencilOperator,
+        )
+        from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
+
+        if isinstance(M, PaddedPreconditioner):
+            return (M.padded_op, M)
+        pop = PallasStencilOperator.from_domain(dom)
+        return (pop, PaddedPreconditioner(inner=M, padded_op=pop))
+
     def solve(
         self,
         callback: Optional[Callable[[int, float, float, float], None]] = None,
@@ -394,7 +410,12 @@ class DirichletSolver:
         # repeated solve (~minutes over a TPU tunnel). set_grid invalidates.
         M = None
         if self.preconditioner:
-            if self._M is None or self._M_key != (self.preconditioner, id(A)):
+            # the FMG payload attach below depends on precision and problem,
+            # so both are part of the key: toggling precision (or swapping
+            # the problem on the same grid) must rebuild M, not reuse a
+            # payload-less / stale-payload cache entry
+            M_key = (self.preconditioner, id(A), self.precision, id(self.problem))
+            if self._M is None or self._M_key != M_key:
                 from iterative_solvers_tpu.solvers.precond import make_preconditioner
 
                 M = make_preconditioner(self.preconditioner, A, dom)
@@ -435,11 +456,13 @@ class DirichletSolver:
                     # nested-iteration pass lands ~3 residual decades, cutting
                     # the 8192² headline from 2x[4,4] to 1x[2] inner PCG
                     # iterations (measured 0.242 -> 0.155 s, NOTES_PERF.md
-                    # round 3). Payload attach only where supported (the
-                    # sharded fused V-cycle has no FMG path yet).
+                    # round 3). _attach_fmg recurses through the adapters
+                    # (padded, sharded, shard-fused) and passes through any
+                    # preconditioner without a rediscretizable hierarchy.
                     M = _attach_fmg(M, self.problem)
                 self._M = M
-                self._M_key = (self.preconditioner, id(A))
+                self._M_key = M_key
+                self._ir_cache = None  # holds M — stale once M is rebuilt
             M = self._M
 
         opts = CGOptions(
@@ -531,18 +554,7 @@ class DirichletSolver:
                 from iterative_solvers_tpu.solvers.refine import fused_refined_solve
 
                 if self._ir_cache is None:
-                    from iterative_solvers_tpu.kernels.stencil_pallas import (
-                        PallasStencilOperator,
-                    )
-                    from iterative_solvers_tpu.solvers.multigrid import (
-                        PaddedPreconditioner,
-                    )
-
-                    pop = PallasStencilOperator.from_domain(dom)
-                    self._ir_cache = (
-                        pop,
-                        PaddedPreconditioner(inner=M, padded_op=pop),
-                    )
+                    self._ir_cache = self._fused_ir_parts(dom, M)
                 pop, Mp = self._ir_cache
                 res = fused_refined_solve(
                     pop,

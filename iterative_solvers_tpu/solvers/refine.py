@@ -459,9 +459,23 @@ def _fmg_start(M, b):
     return M.fmg(b.astype(jnp.float32))
 
 
+def _supports_fmg(M) -> bool:
+    """True when ``M`` (through any chain of padded/sharded adapters) reaches
+    a preconditioner with a real ``fmg``. The adapters delegate ``fmg``
+    unconditionally to their ``inner``, so probing only the outermost object
+    would trace into an AttributeError for e.g. a padded Jacobi."""
+    while M is not None:
+        if getattr(M, "fmg", None) is None:
+            return False
+        inner = getattr(M, "inner", None)
+        if inner is None:
+            return True
+        M = inner
+    return False
+
+
 def _maybe_fmg_x0(M, fmg: bool, b):
-    fmg_fn = getattr(M, "fmg", None) if fmg else None
-    if fmg_fn is None:
+    if not (fmg and _supports_fmg(M)):
         return None
     return _fmg_start(M, b)
 

@@ -59,40 +59,44 @@ def _field_rows(field: np.ndarray, iy: np.ndarray, ix: np.ndarray):
 
 def _full_field(results, domain, which: str) -> Optional[np.ndarray]:
     """Unpack a compacted result vector onto the (masked) grid; None if the
-    results don't carry it (e.g. error when no exact solution is known)."""
+    results don't carry it (e.g. error when no exact solution is known).
+    The unpack/mask itself is viz's (one copy of the semantics)."""
     vec = getattr(results, which, None)
     if vec is None or np.asarray(vec).size == 0:
         return None
-    from iterative_solvers_tpu.core import ordering
-    import jax.numpy as jnp
+    from iterative_solvers_tpu.viz import _field_on_grid
 
-    field = np.asarray(
-        ordering.unpack(jnp.asarray(np.asarray(vec, np.float64)), domain)
-    )
-    return np.where(domain.interior, field, np.nan)
+    return _field_on_grid(results, domain, which)
 
 
 def _payload(results, domain, title: str, max_cells: int) -> dict:
     nz = int(getattr(results, "nz", 0) or 0)
-    fields_full = {}
+    # One field at a time: stats + sampled rows are extracted and the full
+    # array released before the next unpack — at 8192² each f64 field is
+    # ~537 MB, so holding all four at once would peak >2 GB of host RAM.
+    fields = {}
+    stats = {}
+    ix = iy = x = y = None
+    ny1 = nx1 = 0
+    slice_z = None
     for key in _FIELD_KEYS:
         f = _full_field(results, domain, key)
         if f is None:
             continue
         if nz:
-            f = f[f.shape[0] // 2]  # mid-z slice of a 3D solve
-        fields_full[key] = f
-    if not fields_full:
-        raise ValueError("results carry no per-node vectors to explore")
-
-    ny1, nx1 = next(iter(fields_full.values())).shape
-    ix = _sample_idx(nx1, max_cells)
-    iy = _sample_idx(ny1, max_cells)
-    x = np.linspace(domain.x0, domain.x1, nx1)[ix]
-    y = np.linspace(domain.y0, domain.y1, ny1)[iy]
-
-    stats = {}
-    for key, f in fields_full.items():
+            zi = f.shape[0] // 2  # mid-z slice of a 3D solve
+            slice_z = float(
+                getattr(domain, "z0", 0.0)
+                + (getattr(domain, "z1", 1.0) - getattr(domain, "z0", 0.0))
+                * (zi / max(f.shape[0] - 1, 1))
+            )
+            f = f[zi]
+        if ix is None:
+            ny1, nx1 = f.shape
+            ix = _sample_idx(nx1, max_cells)
+            iy = _sample_idx(ny1, max_cells)
+            x = np.linspace(domain.x0, domain.x1, nx1)[ix]
+            y = np.linspace(domain.y0, domain.y1, ny1)[iy]
         a = np.abs(f[np.isfinite(f)])
         if a.size:
             stats[key] = {
@@ -100,6 +104,10 @@ def _payload(results, domain, title: str, max_cells: int) -> dict:
                 "max": float(a.max()),
                 "avg": float(a.mean()),
             }
+        fields[key] = _field_rows(f, iy, ix)
+        del f, a
+    if ix is None:
+        raise ValueError("results carry no per-node vectors to explore")
 
     hist = getattr(results, "history", None)
     hist_rows = []
@@ -126,14 +134,7 @@ def _payload(results, domain, title: str, max_cells: int) -> dict:
         "eps": float(getattr(results, "eps", np.nan)),
         "sampled": [len(iy), len(ix)],
         "full": [ny1, nx1],
-        "slice_z": (
-            float(
-                getattr(domain, "z0", 0.0)
-                + (getattr(domain, "z1", 1.0) - getattr(domain, "z0", 0.0)) * 0.5
-            )
-            if nz
-            else None
-        ),
+        "slice_z": slice_z,
     }
     # json round-trip of non-finite floats is invalid JSON; scrub meta too
     for k, v in list(meta.items()):
@@ -144,7 +145,7 @@ def _payload(results, domain, title: str, max_cells: int) -> dict:
         "meta": meta,
         "x": [float(f"{v:.8g}") for v in x],
         "y": [float(f"{v:.8g}") for v in y],
-        "fields": {k: _field_rows(f, iy, ix) for k, f in fields_full.items()},
+        "fields": fields,
         "stats": stats,
         "history": hist_rows,
     }
@@ -345,22 +346,19 @@ function showTip(px, py, html){
   tooltip.style.left = x + "px"; tooltip.style.top = y + "px";
 }
 function hideTip(){ tooltip.style.display = "none"; }
-function fieldChips(holder, onPick, multi){
+function fieldChips(holder, onPick){
   const keys = Object.keys(DATA.fields);
-  let active = multi ? new Set([keys[0]]) : keys[0];
-  keys.forEach(k => {
+  keys.forEach((k, i) => {
     const b = document.createElement("button");
     b.className = "chip"; b.textContent = FIELD_LABEL[k] || k;
-    b.setAttribute("aria-pressed", (multi ? active.has(k) : active === k) ? "true" : "false");
+    b.setAttribute("aria-pressed", i === 0 ? "true" : "false");
     b.onclick = () => {
-      active = k;
       holder.querySelectorAll(".chip").forEach(c => c.setAttribute("aria-pressed", "false"));
       b.setAttribute("aria-pressed", "true");
       onPick(k);
     };
     holder.appendChild(b);
   });
-  return () => active;
 }
 
 /* ---------- tabs ---------- */
@@ -418,7 +416,7 @@ function fieldRange(f){
   const cv = document.getElementById("surfCanvas");
   let field = Object.keys(DATA.fields)[0];
   let yaw = -0.65, pitch = 0.42, zoom = 1.0;
-  const pick = fieldChips(document.getElementById("surfFields"), k => { field = k; draw(); });
+  fieldChips(document.getElementById("surfFields"), k => { field = k; draw(); });
 
   function draw(){
     const [ctx, w, h] = fitCanvas(cv);

@@ -167,3 +167,71 @@ def test_device_ir_fmg_converges_same_criterion():
     np.testing.assert_allclose(
         np.asarray(warm.x), np.asarray(cold.x), rtol=0, atol=1e-7
     )
+
+
+def test_supports_fmg_probes_through_adapters():
+    """_maybe_fmg_x0 must skip the warm start when an adapter's inner has no
+    real fmg (the padded/sharded adapters delegate unconditionally — probing
+    only the outer object used to trace into an AttributeError)."""
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
+    from iterative_solvers_tpu.solvers.refine import _maybe_fmg_x0, _supports_fmg
+
+    dom, prob, op, b = _setup(32)
+    pop = PallasStencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom)
+    assert _supports_fmg(M)
+    assert _supports_fmg(PaddedPreconditioner(inner=M, padded_op=pop))
+    jacobi = PaddedPreconditioner(inner=lambda r: 0.25 * r, padded_op=pop)
+    assert not _supports_fmg(jacobi)
+    assert not _supports_fmg(lambda r: r)
+    # end-to-end: fmg=True with a non-MG inner cleanly skips the warm start
+    assert _maybe_fmg_x0(jacobi, True, pop.pad(b.astype(jnp.float32))) is None
+
+
+def test_fused_ir_parts_no_double_padding():
+    """Facade device-IR cache: when M is already adapted to the operator's
+    padded layout, _fused_ir_parts must reuse it — a second
+    PaddedPreconditioner wrap pads twice and breaks every shape in the
+    trace (round-3 review finding)."""
+    from iterative_solvers_tpu import DirichletSolver
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
+    from iterative_solvers_tpu.solvers.refine import fused_refined_solve
+
+    dom, prob, op, b64 = _setup(32)
+    s = DirichletSolver(domain=dom, preconditioner="mg", precision="mixed")
+    pop = PallasStencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom).with_fmg(prob)
+    Mp = PaddedPreconditioner(inner=M, padded_op=pop)
+
+    pop2, Mp2 = s._fused_ir_parts(dom, Mp)
+    assert Mp2 is Mp and pop2 is pop  # reused, not re-wrapped
+    pop3, Mp3 = s._fused_ir_parts(dom, M)
+    assert isinstance(Mp3, PaddedPreconditioner) and Mp3.inner is M
+    assert not isinstance(Mp3.inner, PaddedPreconditioner)
+
+    # the fused device-IR program traces and converges on the reused parts
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-8, max_iterations=10000
+    )
+    res = fused_refined_solve(pop2, Mp2, b64, stop=stop, fmg=True)
+    assert res.converged
+
+
+def test_facade_M_cache_rebuilds_on_precision_change():
+    """The cached preconditioner depends on precision (FMG payload attach):
+    toggling precision between solves must rebuild M, not reuse the
+    payload-less entry (round-3 review finding)."""
+    from iterative_solvers_tpu import DirichletSolver
+    from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
+
+    s = DirichletSolver(nx=32, ny=32, preconditioner="mg")
+    s.solve()
+    inner = s._M.inner if isinstance(s._M, PaddedPreconditioner) else s._M
+    assert inner.fmg_data is None
+    s.precision = "mixed"  # mirrors the reference's mutable-setter usage
+    res = s.solve()
+    assert res.converged
+    inner = s._M.inner if isinstance(s._M, PaddedPreconditioner) else s._M
+    assert inner.fmg_data is not None, "stale payload-less M reused from cache"
