@@ -56,6 +56,12 @@ class SolverResults:
     # 3D extension (empty/0 for 2D problems)
     z_coords: Optional[np.ndarray] = None
     nz: int = 0
+    # 2D domain geometry, so `view` can rebuild the right mask ("" = unknown,
+    # e.g. a file saved before this field existed): "gamma"/"rect"/"custom"
+    shape: str = ""
+    # full-grid interior mask for shape == "custom" (npz round-trips only —
+    # the sectioned text format reconstructs it from the saved coordinates)
+    interior_mask: Optional[np.ndarray] = None
 
     def solution_field(self, domain) -> np.ndarray:
         """Scatter the compacted solution back onto the full grid
@@ -210,11 +216,8 @@ class DirichletSolver:
                     "(jnp halo exchange), 'pallas' (sharded Pallas fast "
                     "path) or 'fused' (sharded fused CG engine)"
                 )
-            if operator == "fused" and is3d:
-                raise ValueError(
-                    "operator='fused' with a mesh is 2D-only; use "
-                    "operator='pallas' for sharded 3D solves"
-                )
+            # (operator='fused' with a 3D domain is rejected above, mesh or
+            # not — 'use operator=pallas for 3D' covers the sharded case too)
             if operator in ("pallas", "fused") and not is3d:
                 if getattr(self.domain, "shape", None) not in ("gamma", "rect"):
                     raise ValueError(
@@ -380,29 +383,33 @@ class DirichletSolver:
         self._stop_event.clear()
         dom = self.domain
         A = self._make_operator()
-        b = self.problem.rhs_field(self.dtype)
-        u = None
-        if self.problem.u_exact is not None:
-            u = self.problem.true_solution_field(self.dtype)
-        if self.mesh is not None:
-            if self.operator_kind == "fused":
-                pass  # sharded_fused_cg_solve shards/pads internally
-            elif self.operator_kind == "pallas":
-                # the sharded Pallas operator has its own (tile-aligned)
-                # padded layout
-                b = A.shard(b)
-                u = A.shard(u) if u is not None else None
-            else:
-                from iterative_solvers_tpu.parallel.mesh import shard_field
+        b = u = None
+        if self.precision != "mixed":
+            # the mixed path builds its own f64 fields below — materializing
+            # and sharding/padding f32 twins here would be two wasted
+            # full-field transfers per solve (~0.5 GB at 8192²)
+            b = self.problem.rhs_field(self.dtype)
+            if self.problem.u_exact is not None:
+                u = self.problem.true_solution_field(self.dtype)
+            if self.mesh is not None:
+                if self.operator_kind == "fused":
+                    pass  # sharded_fused_cg_solve shards/pads internally
+                elif self.operator_kind == "pallas":
+                    # the sharded Pallas operator has its own (tile-aligned)
+                    # padded layout
+                    b = A.shard(b)
+                    u = A.shard(u) if u is not None else None
+                else:
+                    from iterative_solvers_tpu.parallel.mesh import shard_field
 
-                b = shard_field(b, self.mesh)
-                u = shard_field(u, self.mesh) if u is not None else None
-        elif self.operator_kind == "sparse":
-            b = ordering.pack(b, dom)
-            u = ordering.pack(u, dom) if u is not None else None
-        elif self.operator_kind == "pallas":
-            b = A.pad(b)
-            u = A.pad(u) if u is not None else None
+                    b = shard_field(b, self.mesh)
+                    u = shard_field(u, self.mesh) if u is not None else None
+            elif self.operator_kind == "sparse":
+                b = ordering.pack(b, dom)
+                u = ordering.pack(u, dom) if u is not None else None
+            elif self.operator_kind == "pallas":
+                b = A.pad(b)
+                u = A.pad(u) if u is not None else None
 
         # Preconditioners (and the adapters around them) are CACHED per
         # facade: they are id-hashed jit statics downstream, so a fresh
@@ -695,4 +702,10 @@ class DirichletSolver:
             history=res.history,
             z_coords=zs,
             nz=getattr(dom, "nz", 0),
+            shape=getattr(dom, "shape", ""),
+            interior_mask=(
+                np.asarray(dom.interior)
+                if getattr(dom, "shape", "") == "custom"
+                else None
+            ),
         )

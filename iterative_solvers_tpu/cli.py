@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--z0", type=float, default=0.0)
     s.add_argument("--z1", type=float, default=1.0)
     s.add_argument("--shape", choices=["gamma", "rect"], default="gamma")
+    s.add_argument("--mask", metavar="FILE", default=None,
+                   help="boolean full-grid 'inside' mask (.npy, or .npz with "
+                   "key 'inside'/'mask'), shape (ny+1, nx+1) — selects a "
+                   "custom 2D domain (overrides --shape)")
     s.add_argument(
         "--operator",
         choices=["stencil", "sparse", "pallas", "fused"],
@@ -112,9 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
         "(the reference GUI's load-and-inspect capability)",
     )
     v.add_argument("file", help="sectioned-text (.txt) or .npz results file")
-    v.add_argument("--shape", choices=["gamma", "rect"], default="gamma",
-                   help="domain shape for grid-based plots (not recorded in "
-                   "the text format; the reference domain is gamma)")
+    v.add_argument("--shape", choices=["gamma", "rect"], default=None,
+                   help="override the domain shape for grid-based plots "
+                   "(default: the shape recorded in the file; files saved "
+                   "before the SHAPE line existed fall back to gamma)")
     v.add_argument("--plots", metavar="DIR",
                    help="write the same PNG set as 'solve --plots'")
     v.add_argument("--html", metavar="PATH",
@@ -165,7 +170,7 @@ def cmd_solve(args) -> int:
     cfg = SolveConfig(
         nx=args.nx, ny=args.ny, nz=args.nz,
         x0=args.x0, x1=args.x1, y0=args.y0, y1=args.y1,
-        z0=args.z0, z1=args.z1, shape=args.shape,
+        z0=args.z0, z1=args.z1, shape=args.shape, mask=args.mask,
         operator=args.operator, beta=args.beta, precond=args.precond,
         precision=args.precision, dtype=args.dtype,
         eps_precision=args.eps_precision, eps_residual=args.eps_residual,
@@ -281,12 +286,80 @@ def _write_plots(res, dom, outdir: str, quiet: bool) -> None:
         print(f"plots written to {outdir}/", file=sys.stderr)
 
 
+def _interior_from_coords(res) -> "np.ndarray":
+    """Reconstruct the full-grid interior mask from the saved unknown
+    coordinates (text files don't store masks). The saved nodes ARE the
+    interior; dilating them by one (8-neighborhood) yields an ``inside`` set
+    whose Domain2D-derived boundary is exactly that dilation ring, leaving
+    the saved nodes as the unknowns."""
+    import numpy as np
+
+    x0, x1, y0, y1 = res.bounds[:4]
+    hx, hy = (x1 - x0) / res.nx, (y1 - y0) / res.ny
+    ixs = np.rint((np.asarray(res.x_coords) - x0) / hx).astype(int)
+    iys = np.rint((np.asarray(res.y_coords) - y0) / hy).astype(int)
+    if ((ixs < 0) | (ixs > res.nx) | (iys < 0) | (iys > res.ny)).any():
+        raise ValueError("saved coordinates fall outside the recorded bounds")
+    interior = np.zeros((res.ny + 1, res.nx + 1), dtype=bool)
+    interior[iys, ixs] = True
+    return interior
+
+
+def _view_domain_2d(res, shape_override):
+    """Build the Domain2D a saved 2D result was solved on. Priority: explicit
+    --shape flag > recorded shape > gamma (pre-SHAPE-line files)."""
+    import numpy as np
+
+    from iterative_solvers_tpu.core.domain import Domain2D
+
+    b = res.bounds
+    shape = shape_override or getattr(res, "shape", "") or "gamma"
+    if shape != "custom":
+        return Domain2D(
+            nx=res.nx, ny=res.ny,
+            x0=b[0], x1=b[1], y0=b[2], y1=b[3], shape=shape,
+        )
+    # custom domains: exact mask from npz when present, else reconstructed
+    # from the saved unknown coordinates
+    mask = getattr(res, "interior_mask", None)
+    if mask is None:
+        interior = _interior_from_coords(res)
+    else:
+        interior = np.asarray(mask, dtype=bool)
+    pad = np.pad(interior, 1)
+    inside = np.zeros_like(interior)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            inside |= pad[1 + dy : pad.shape[0] + dy - 1,
+                          1 + dx : pad.shape[1] + dx - 1]
+    inside |= interior
+    dom = Domain2D(
+        nx=res.nx, ny=res.ny,
+        x0=b[0], x1=b[1], y0=b[2], y1=b[3],
+        shape="custom", inside_fn=lambda ix, iy: inside[iy, ix],
+    )
+    if res.solution.size and int(dom.interior.sum()) != res.solution.size:
+        # a pathological mask (e.g. a 1-node hole ringed by unknowns) can
+        # defeat the dilation reconstruction — fail loudly rather than
+        # scatter values onto the wrong nodes
+        hint = (
+            "; re-save the results as .npz (which stores the mask)"
+            if mask is None
+            else ""
+        )
+        raise ValueError(
+            f"reconstructed custom domain has {int(dom.interior.sum())} "
+            f"unknowns but the file stores {res.solution.size} values" + hint
+        )
+    return dom
+
+
 def cmd_view(args) -> int:
     """Reload a saved results file and re-plot / re-print it — the CLI verb
     for the reference GUI's load-and-inspect capability
     (reference solver/dirichlet_solver.cpp:315-405 loadResults)."""
     from iterative_solvers_tpu import results_io
-    from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+    from iterative_solvers_tpu.core.domain import Domain3D
     from iterative_solvers_tpu.report import vector_table
 
     if args.file.endswith(".npz"):
@@ -302,10 +375,7 @@ def cmd_view(args) -> int:
             z0=b[4] if len(b) > 4 else 0.0, z1=b[5] if len(b) > 5 else 1.0,
         )
     else:
-        dom = Domain2D(
-            nx=res.nx, ny=res.ny,
-            x0=b[0], x1=b[1], y0=b[2], y1=b[3], shape=args.shape,
-        )
+        dom = _view_domain_2d(res, args.shape)
 
     did_output = False
     if args.plots:

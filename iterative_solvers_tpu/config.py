@@ -28,6 +28,28 @@ from typing import Any, Dict, Optional
 from iterative_solvers_tpu.solvers.stopping import StopConfig
 
 
+def _load_inside_mask(path: str):
+    """Boolean full-grid "inside" array from .npy, or .npz under the key
+    ``inside``/``mask`` (first array as a fallback)."""
+    import numpy as np
+
+    data = np.load(path)
+    if hasattr(data, "files"):  # npz archive
+        for key in ("inside", "mask"):
+            if key in data.files:
+                arr = data[key]
+                break
+        else:
+            if not data.files:
+                raise ValueError(f"{path}: empty npz archive")
+            arr = data[data.files[0]]
+    else:
+        arr = data
+    if arr.ndim != 2:
+        raise ValueError(f"{path}: mask must be 2D, got shape {arr.shape}")
+    return np.asarray(arr, dtype=bool)
+
+
 @dataclass
 class SolveConfig:
     """Declarative description of one Dirichlet-Poisson solve."""
@@ -44,6 +66,9 @@ class SolveConfig:
     z0: float = 0.0
     z1: float = 1.0
     shape: str = "gamma"  # gamma | rect
+    # path to a boolean full-grid "inside" mask (.npy, or .npz with key
+    # 'inside'/'mask'), shape (ny+1, nx+1); selects a custom 2D domain
+    mask: Optional[str] = None
 
     # solver
     operator: str = "stencil"  # stencil | sparse | pallas | fused
@@ -72,10 +97,25 @@ class SolveConfig:
         from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
 
         if self.nz > 0:
+            if self.mask:
+                raise ValueError("mask files are 2D-only (the 3D problem is a box)")
             return Domain3D(
                 nx=self.nx, ny=self.ny, nz=self.nz,
                 x0=self.x0, x1=self.x1, y0=self.y0, y1=self.y1,
                 z0=self.z0, z1=self.z1,
+            )
+        if self.mask:
+            inside = _load_inside_mask(self.mask)
+            if inside.shape != (self.ny + 1, self.nx + 1):
+                raise ValueError(
+                    f"mask {self.mask}: shape {inside.shape} != node grid "
+                    f"({self.ny + 1}, {self.nx + 1}) for nx={self.nx}, "
+                    f"ny={self.ny}"
+                )
+            return Domain2D(
+                nx=self.nx, ny=self.ny,
+                x0=self.x0, x1=self.x1, y0=self.y0, y1=self.y1,
+                shape="custom", inside_fn=lambda ix, iy: inside[iy, ix],
             )
         return Domain2D(
             nx=self.nx, ny=self.ny,

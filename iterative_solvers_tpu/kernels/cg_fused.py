@@ -540,24 +540,23 @@ def _fused_chunk(engine: FusedCGEngine, stop: StopConfig, state: CGState, u_true
     return lax.while_loop(cond, body, state)
 
 
-def fused_cg_solve(
-    op: PallasStencilOperator,
-    b: jnp.ndarray,
-    *,
-    u_true: Optional[jnp.ndarray] = None,
-    options: Optional[CGOptions] = None,
-) -> CGResult:
-    """Solve with the fused engine. ``b``/``u_true`` are *unpadded* full-grid
-    fields; the returned ``CGResult.x`` is cropped back to the grid shape.
-    f32 only (use the standard engine for f64 runs on CPU)."""
-    opts = options or CGOptions()
+def _run_fused_solve(op, b, u_true, opts: CGOptions, *, lay, engine) -> CGResult:
+    """Shared driver of the single-chip and mesh-sharded fused solves
+    (fused_cg_solve here, parallel/cg_fused_sharded.sharded_fused_cg_solve):
+    the donated CGState init (z_prev convention, PCG carries), the CGOptions
+    rebuild around the engine's chunk_fn, and the x64-off trace scope live in
+    ONE place so the state contract cannot drift between the twins.
+
+    ``lay`` maps an unpadded full-grid field onto the engine's working layout
+    (``op.pad`` single-chip, ``op.shard`` over a mesh); ``engine`` is the
+    caller-memoised fused engine (id-hashed jit static downstream)."""
     M = opts.preconditioner
     if opts.beta_kind != "msg":
         raise ValueError("fused engine implements the MSG recurrence only")
 
     dtype = jnp.float32
-    bp = op.pad(jnp.asarray(b, dtype))
-    up_true = op.pad(jnp.asarray(u_true, dtype)) if u_true is not None else None
+    bp = lay(jnp.asarray(b, dtype))
+    up_true = lay(jnp.asarray(u_true, dtype)) if u_true is not None else None
 
     with jax.enable_x64(False):
         r2_0 = jnp.sum(bp * bp)
@@ -586,7 +585,6 @@ def fused_cg_solve(
         rz_prev=jnp.asarray(1.0, dtype) if M is not None else None,
     )
 
-    engine = _engine_for(op, M)
     fused_opts = CGOptions(
         stop=opts.stop,
         beta_kind="msg",
@@ -605,3 +603,19 @@ def fused_cg_solve(
         res = cg_solve(lambda v: v, bp, u_true=up_true, options=fused_opts, init_state=state)
     res.x = op.crop(res.x)
     return res
+
+
+def fused_cg_solve(
+    op: PallasStencilOperator,
+    b: jnp.ndarray,
+    *,
+    u_true: Optional[jnp.ndarray] = None,
+    options: Optional[CGOptions] = None,
+) -> CGResult:
+    """Solve with the fused engine. ``b``/``u_true`` are *unpadded* full-grid
+    fields; the returned ``CGResult.x`` is cropped back to the grid shape.
+    f32 only (use the standard engine for f64 runs on CPU)."""
+    opts = options or CGOptions()
+    return _run_fused_solve(
+        op, b, u_true, opts, lay=op.pad, engine=_engine_for(op, opts.preconditioner)
+    )

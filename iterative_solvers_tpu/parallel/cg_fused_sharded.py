@@ -30,7 +30,7 @@ between iterations at the global-array level, outside the shard_map.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -49,7 +49,6 @@ from iterative_solvers_tpu.parallel.halo_pallas import (
     _embed_row,
 )
 from iterative_solvers_tpu.solvers.cg import CGState
-from iterative_solvers_tpu.solvers.stopping import StopReason
 
 LANES = 128
 
@@ -412,66 +411,15 @@ def sharded_fused_cg_solve(
     kernels/cg_fused.py fused_cg_solve). ``b``/``u_true`` are *unpadded*
     full-grid host/global fields; the returned ``CGResult.x`` is cropped.
     f32 only."""
-    from iterative_solvers_tpu.kernels.cg_fused import _fused_chunk, _pcg_init
-    from iterative_solvers_tpu.solvers.cg import CGOptions, cg_solve
+    from iterative_solvers_tpu.kernels.cg_fused import _run_fused_solve
+    from iterative_solvers_tpu.solvers.cg import CGOptions
 
     opts = options or CGOptions()
-    M = opts.preconditioner
-    if opts.beta_kind != "msg":
-        raise ValueError("fused engine implements the MSG recurrence only")
-    dtype = jnp.float32
-    bp = op.shard(jnp.asarray(b, dtype))
-    up_true = op.shard(jnp.asarray(u_true, dtype)) if u_true is not None else None
-
-    with jax.enable_x64(False):
-        r2_0 = jnp.sum(bp * bp)
-        if M is not None:
-            w0, rz0 = _pcg_init(M, bp)
-        else:
-            w0 = rz0 = None
-    state = CGState(
-        x=jnp.zeros_like(bp),
-        r=bp,
-        z=jnp.zeros_like(bp),
-        k=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
-        reason=jnp.asarray(int(StopReason.ITERATIONS), jnp.int32),
-        rz=rz0 if rz0 is not None else jnp.asarray(1.0, dtype),
-        r_norm2=r2_0,
-        prec_max=jnp.asarray(jnp.inf, dtype),
-        r_max=jnp.max(jnp.abs(bp)),
-        err_max=(
-            jnp.max(jnp.abs(up_true))
-            if up_true is not None
-            else jnp.asarray(jnp.inf, dtype)
-        ),
-        r0_norm=jnp.sqrt(r2_0),
-        w=w0,
-        rz_prev=jnp.asarray(1.0, dtype) if M is not None else None,
+    return _run_fused_solve(
+        op, b, u_true, opts,
+        lay=op.shard,
+        engine=_sharded_engine_for(op, opts.preconditioner),
     )
-    engine = _sharded_engine_for(op, M)
-    fused_opts = CGOptions(
-        stop=opts.stop,
-        beta_kind="msg",
-        callback=opts.callback,
-        callback_every=opts.callback_every,
-        chunk_size=opts.chunk_size,
-        stop_requested=opts.stop_requested,
-        record_history=opts.record_history,
-        state_callback=opts.state_callback,
-        chunk_fn=lambda state, u, k_stop: _fused_chunk(
-            engine, opts.stop, state, u, k_stop
-        ),
-    )
-    with jax.enable_x64(False):
-        res = cg_solve(
-            lambda v: v, bp, u_true=up_true, options=fused_opts, init_state=state
-        )
-    res.x = op.crop(res.x)
-    return res
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=64)

@@ -73,6 +73,10 @@ def save_results(path: str, results, solver_name: str = "MSG (conjugate gradient
         f.write(dims + "\n")
         f.write(" ".join(str(v) for v in results.bounds) + "\n")
         f.write(f"{solver_name}\n")
+        if getattr(results, "shape", ""):
+            # extension line (absent in reference files and our own pre-round-3
+            # saves; the loader treats it as optional)
+            f.write(f"SHAPE {results.shape}\n")
         f.write("CONVERGENCE\n")
         f.write(f"{results.iterations}\n")
         f.write(f"{1 if results.converged else 0}\n")
@@ -123,7 +127,12 @@ def load_results(path: str):
     nz = dims[2] if len(dims) > 2 else 0
     bounds = tuple(float(v) for v in next_line().split())
     solver_name = next_line()
-    expect(next_line(), "CONVERGENCE")
+    shape = ""
+    line = next_line()
+    if line.startswith("SHAPE "):
+        shape = line.split(None, 1)[1].strip()
+        line = next_line()
+    expect(line, "CONVERGENCE")
     iterations = int(next_line())
     converged = next_line().strip() == "1"
     reason_txt = next_line().strip()
@@ -168,6 +177,7 @@ def load_results(path: str):
         nz=nz,
         bounds=bounds,
         z_coords=vecs.get("Z_COORDS"),
+        shape=shape,
     ), solver_name
 
 
@@ -196,6 +206,12 @@ def save_results_npz(path: str, results) -> None:
             results.z_coords
             if getattr(results, "z_coords", None) is not None
             else np.zeros(0)
+        ),
+        shape=getattr(results, "shape", ""),
+        interior_mask=(
+            results.interior_mask
+            if getattr(results, "interior_mask", None) is not None
+            else np.zeros((0, 0), dtype=bool)
         ),
     )
 
@@ -226,6 +242,12 @@ def load_results_npz(path: str):
         history=hist if hist.size else None,
         z_coords=(
             z["z_coords"] if "z_coords" in z and z["z_coords"].size else None
+        ),
+        shape=str(z["shape"]) if "shape" in z else "",
+        interior_mask=(
+            z["interior_mask"]
+            if "interior_mask" in z and z["interior_mask"].size
+            else None
         ),
     )
 

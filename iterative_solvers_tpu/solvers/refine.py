@@ -330,10 +330,11 @@ def _outer_refine_loop(
     stall (an outer shrinking the residual by < 20x exits so the host-side
     escalated polish takes over), and returns (x, r, packed stats). The
     packed vector also carries a per-outer convergence-history block
-    (max_outer rows of (total_inner, ‖d‖∞, ‖r‖∞, err∞, ‖r‖₂) — the standard
-    history row layout of solvers/cg.py) so the fastest path keeps the
-    reference's always-on observability (round-2 VERDICT weak item 4) at
-    zero extra transfers."""
+    (max_outer + 1 rows of (total_inner, ‖d‖∞, ‖r‖∞, err∞, ‖r‖₂) — the
+    standard history row layout of solvers/cg.py, row 0 being the initial /
+    warm-start state exactly as in the host refined_solve) so the fastest
+    path keeps the reference's always-on observability (round-2 VERDICT weak
+    item 4) at zero extra transfers."""
     false = jnp.asarray(False)
     r0_norm = jnp.sqrt(jnp.sum(b * b))
 
@@ -363,7 +364,7 @@ def _outer_refine_loop(
             jnp.stack(
                 [total_inner.astype(b.dtype), prec, r_max, err, jnp.sqrt(r2)]
             )[None, :],
-            (k_out, jnp.asarray(0, k_out.dtype)),
+            (k_out + 1, jnp.asarray(0, k_out.dtype)),  # row 0 = initial state
         )
         stalled = r_max > 0.05 * rm_prev
         done_div = ~jnp.isfinite(r2)
@@ -415,11 +416,27 @@ def _outer_refine_loop(
         # total_inner, mirroring how outer residual evaluations are not.
         x_init = x0.astype(b.dtype)
         r_init = b - A_hi(x_init)
+    err_init = jnp.max(jnp.abs(x_init - u_true)) if u_true is not None else big
+    hist0 = jnp.zeros((max_outer + 1, 5), b.dtype)
+    # row 0 = initial/warm-start state — same convention as the host
+    # refined_solve's first hist_rows entry, so facade consumers see ONE
+    # history shape ((outers + 1, 5)) regardless of which path ran
+    hist0 = hist0.at[0].set(
+        jnp.stack(
+            [
+                jnp.zeros((), b.dtype),
+                big,
+                jnp.max(jnp.abs(r_init)),
+                err_init,
+                jnp.sqrt(jnp.sum(r_init * r_init)),
+            ]
+        )
+    )
     c0 = (
         x_init, r_init, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         false, jnp.asarray(int(StopReason.ITERATIONS), jnp.int32), big,
-        jnp.max(jnp.abs(x_init - u_true)) if u_true is not None else big,
-        big, false, jnp.zeros((max_outer, 5), b.dtype),
+        err_init,
+        big, false, hist0,
     )
     x, r, k_out, total_inner, done, reason, prec, err, _, _, hist = lax.while_loop(
         ocond, obody, c0
@@ -608,7 +625,10 @@ def _join_history(dev_hist, cont_hist, inner_offset: int):
     cont[:, 0] += inner_offset
     if dev_hist is None:
         return cont
-    return np.concatenate([dev_hist, cont], axis=0)
+    # refined_solve's row 0 is its warm-start state — the very point the
+    # device history already ends with; keeping both would duplicate the
+    # iteration index and inject an inf precision row mid-series.
+    return np.concatenate([dev_hist, cont[1:]], axis=0)
 
 
 def _finish_refined(
@@ -640,7 +660,7 @@ def _finish_refined(
     r_max, prec, err = float(stats[4]), float(stats[5]), float(stats[6])
     r_norm = math.sqrt(max(float(stats[7]), 0.0))
     r0_norm = float(stats[8])
-    hist = stats[9:].reshape(max_outer, 5)[:k_out].copy() if k_out else None
+    hist = stats[9:].reshape(max_outer + 1, 5)[: k_out + 1].copy()
     if profiler is not None:
         profiler.count("iterations", total_inner)
 

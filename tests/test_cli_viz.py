@@ -114,6 +114,89 @@ def test_cli_view_round_trip(tmp_path, capsys):
     assert "solution" in out.out
 
 
+def test_cli_view_uses_recorded_shape(tmp_path, capsys):
+    """view must rebuild the domain the results were SOLVED on: an odd-sized
+    rect grid would be rejected outright by the old gamma default, and a
+    gamma mask would silently mis-plot rect fields."""
+    saved = str(tmp_path / "rect.txt")
+    assert main(["solve", "--nx", "7", "--ny", "7", "--shape", "rect",
+                 "--save", saved, "--quiet", "--progress-every", "0"]) == 0
+    capsys.readouterr()
+    plots = str(tmp_path / "plots")
+    assert main(["view", saved, "--plots", plots]) == 0
+    capsys.readouterr()
+    assert os.path.getsize(os.path.join(plots, "heatmap_error.png")) > 1000
+    # an explicit --shape override still wins over the recorded one
+    assert main(["view", saved, "--shape", "rect", "--plots",
+                 str(tmp_path / "p2")]) == 0
+    capsys.readouterr()
+
+
+def test_cli_solve_mask_file(tmp_path, capsys):
+    """--mask FILE makes custom domains reachable from the CLI; the saved
+    results then view correctly through the coordinate reconstruction."""
+    ny = nx = 10
+    iy, ix = np.mgrid[0 : ny + 1, 0 : nx + 1]
+    inside = ~((ix > 6) & (iy > 6))  # notched rectangle
+    mfile = str(tmp_path / "mask.npy")
+    np.save(mfile, inside)
+
+    saved = str(tmp_path / "m.txt")
+    rc = main(["solve", "--nx", str(nx), "--ny", str(ny), "--mask", mfile,
+               "--save", saved, "--quiet", "--progress-every", "0"])
+    assert rc == 0
+    capsys.readouterr()
+    assert "SHAPE custom" in open(saved).read()
+    assert main(["view", saved, "--plots", str(tmp_path / "p")]) == 0
+    capsys.readouterr()
+    assert os.path.getsize(os.path.join(str(tmp_path / "p"),
+                                        "heatmap_error.png")) > 1000
+
+    # wrong grid size fails loudly
+    rc = main(["solve", "--nx", "8", "--ny", "8", "--mask", mfile, "--quiet",
+               "--progress-every", "0"])
+    assert rc != 0
+    assert "shape" in capsys.readouterr().err
+
+
+def test_cli_view_custom_domain(tmp_path, capsys):
+    """Custom-mask results round-trip through view: exact mask via npz,
+    coordinate-based reconstruction via the text format."""
+    from iterative_solvers_tpu.api import DirichletSolver
+    from iterative_solvers_tpu.cli import _view_domain_2d
+    from iterative_solvers_tpu.core.domain import Domain2D
+    from iterative_solvers_tpu.results_io import (
+        load_results,
+        load_results_npz,
+        save_results_npz,
+    )
+
+    # notched rectangle: a genuinely non-gamma/rect mask
+    dom = Domain2D(nx=12, ny=12, shape="custom",
+                   inside_fn=lambda ix, iy: ~((ix > 8) & (iy > 8)))
+    s = DirichletSolver(domain=dom)
+    res = s.solve(record_history=False)
+    assert res.shape == "custom" and res.interior_mask is not None
+
+    npz = str(tmp_path / "c.npz")
+    save_results_npz(npz, res)
+    r2 = load_results_npz(npz)
+    d2 = _view_domain_2d(r2, None)
+    assert (np.asarray(d2.interior) == np.asarray(dom.interior)).all()
+
+    txt = str(tmp_path / "c.txt")
+    res.save(txt)
+    r3, _name = load_results(txt)
+    assert r3.shape == "custom" and r3.interior_mask is None
+    d3 = _view_domain_2d(r3, None)  # reconstructed from coords
+    assert (np.asarray(d3.interior) == np.asarray(dom.interior)).all()
+
+    plots = str(tmp_path / "cplots")
+    assert main(["view", txt, "--plots", plots]) == 0
+    capsys.readouterr()
+    assert os.path.getsize(os.path.join(plots, "surface.png")) > 1000
+
+
 def test_cli_view_default_prints_report(tmp_path, capsys):
     saved = str(tmp_path / "r.txt")
     main(["solve", "--nx", "8", "--ny", "8", "--save", saved, "--quiet",

@@ -50,7 +50,10 @@ def test_text_format_sections(tmp_path, solved):
     results_io.save_results(p, res)
     lines = open(p).read().splitlines()
     assert lines[0] == "PARAMETERS"
-    assert lines[4] == "CONVERGENCE"
+    # line 4 is our optional SHAPE extension; the reference schema resumes
+    # right after it
+    assert lines[4] == f"SHAPE {res.shape}"
+    assert lines[5] == "CONVERGENCE"
     for sec in ("SOLUTION", "TRUE_SOLUTION", "RESIDUAL", "ERROR", "X_COORDS", "Y_COORDS"):
         assert sec in lines
 

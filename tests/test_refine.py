@@ -333,7 +333,10 @@ def test_device_ir_emits_convergence_history():
     )
     res = fused_refined_solve(pop, Mp, prob.rhs_field(jnp.float64), stop=stop)
     h = res.history
-    assert h is not None and h.shape == (res.outer_iterations, 5)
+    # one row per outer plus the initial state row — same convention as the
+    # host refined_solve path (consumers rely on ONE shape)
+    assert h is not None and h.shape == (res.outer_iterations + 1, 5)
+    assert h[0, 0] == 0 and h[0, 1] == np.inf
     assert (np.diff(h[:, 0]) > 0).all()  # cumulative inner iterations
     assert h[-1, 2] <= h[0, 2]  # |r|_inf decreases
     # the final history row agrees with the result's scalar fields
@@ -360,6 +363,27 @@ def test_refined_solve_history_rows():
     # one row per outer plus the initial state row
     assert res.history.shape == (res.outer_iterations + 1, 5)
     assert res.history[0, 0] == 0
+
+
+def test_join_history_drops_duplicate_warm_start_row():
+    """The escalated continuation's row 0 is the warm-start state the device
+    history already ends with — joining must not duplicate the iteration
+    index or inject an inf precision row mid-series."""
+    from iterative_solvers_tpu.solvers.refine import _join_history
+
+    dev = np.array([[0, np.inf, 1.0, 1.0, 1.0],
+                    [4, 1e-3, 1e-2, 1e-2, 1e-2]])
+    cont = np.array([[0, np.inf, 1e-2, 1e-2, 1e-2],
+                     [3, 1e-6, 1e-5, 1e-5, 1e-5]])
+    j = _join_history(dev, cont, 4)
+    assert j.shape == (3, 5)
+    assert (np.diff(j[:, 0]) > 0).all()
+    assert np.isfinite(j[1:, 1]).all()  # inf only in the initial row
+    assert j[-1, 0] == 7
+    # degenerate ends
+    only_cont = _join_history(None, cont, 0)
+    assert only_cont.shape == cont.shape and only_cont[0, 0] == 0
+    assert _join_history(dev, None, 4) is dev
 
 
 def test_facade_mixed_produces_convergence_plot(tmp_path):
