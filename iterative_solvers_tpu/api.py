@@ -84,7 +84,12 @@ def _attach_fmg(M, problem):
     """Attach the FMG payload (multigrid.with_fmg) to the MG preconditioner
     inside adapter ``M``, recursing through the padded/sharded wrappers.
     Adapters without an underlying rediscretizable hierarchy pass through
-    unchanged (their ladders simply start cold)."""
+    unchanged (their ladders simply start cold).
+
+    Counterpart of ``solvers.refine._supports_fmg`` (which probes the same
+    adapter chain by duck-typed ``fmg``/``inner`` attributes at solve time) —
+    a new adapter class must be handled in BOTH places, or the payload is
+    attached but the warm start silently skipped (and vice versa)."""
     from dataclasses import replace as dc_replace
 
     from iterative_solvers_tpu.solvers.multigrid import (
@@ -134,6 +139,9 @@ class DirichletSolver:
         preconditioner: Optional[str] = None,
         precision: Optional[str] = None,  # None | 'mixed' (f64 outer, f32 inner)
         mesh=None,
+        fmg_cycles: int = 1,  # FMG polish V-cycles per level for the mixed
+        # ladder's warm start; 0 disables FMG, 2-3 for sharp problems whose
+        # interpolation constants dominate (tests/test_fmg.py)
     ) -> None:
         if problem is not None:
             self.problem = problem
@@ -147,11 +155,15 @@ class DirichletSolver:
         self.preconditioner = preconditioner
         self.precision = precision
         self.mesh = mesh
+        if not (isinstance(fmg_cycles, int) and fmg_cycles >= 0):
+            raise ValueError(f"fmg_cycles must be an int >= 0, got {fmg_cycles!r}")
+        self.fmg_cycles = fmg_cycles
         self._validate_config()
         self._stop_event = threading.Event()
         self._op = None
         self._M = None
         self._M_key = None
+        self._M_problem = None  # pins the problem the cached M was built for
         self._ir_cache = None  # (pallas op, padded M) for the device-IR path
         self._hi_op = None  # jnp twin of a sharded Pallas operator (f64 outer)
         self._hi_op_key = None
@@ -250,6 +262,7 @@ class DirichletSolver:
         self._op = None
         self._M = None
         self._M_key = None
+        self._M_problem = None
         self._ir_cache = None
         self._hi_op = None
         self._hi_op_key = None
@@ -422,7 +435,10 @@ class DirichletSolver:
             # the problem on the same grid) must rebuild M, not reuse a
             # payload-less / stale-payload cache entry
             M_key = (self.preconditioner, id(A), self.precision, id(self.problem))
-            if self._M is None or self._M_key != M_key:
+            # id(A) stays valid because A is pinned in self._op; the problem
+            # must be pinned too (self._M_problem below) or CPython could
+            # recycle a freed problem's id and make a stale key compare equal
+            if self._M is None or self._M_key != M_key or self._M_problem is not self.problem:
                 from iterative_solvers_tpu.solvers.precond import make_preconditioner
 
                 M = make_preconditioner(self.preconditioner, A, dom)
@@ -469,6 +485,7 @@ class DirichletSolver:
                     M = _attach_fmg(M, self.problem)
                 self._M = M
                 self._M_key = M_key
+                self._M_problem = self.problem
                 self._ir_cache = None  # holds M — stale once M is rebuilt
             M = self._M
 
@@ -554,7 +571,7 @@ class DirichletSolver:
                     b64,
                     u_true=u64,
                     stop=self.stop,
-                    fmg=True,
+                    fmg=self.fmg_cycles,
                     profiler=profiler,
                 )
             elif use_fused_ir:
@@ -569,7 +586,7 @@ class DirichletSolver:
                     b64,
                     u_true=u64,
                     stop=self.stop,
-                    fmg=True,
+                    fmg=self.fmg_cycles,
                     profiler=profiler,
                 )
             elif use_device_ir:
@@ -582,10 +599,16 @@ class DirichletSolver:
                     u_true=u64,
                     stop=self.stop,
                     preconditioner=M,
-                    fmg=True,
+                    fmg=self.fmg_cycles,
                     profiler=profiler,
                 )
             else:
+                # host-side chunked ladder (CPU backend or live callback):
+                # same FMG warm start as the device-IR paths — the payload is
+                # already attached to the cached M, so skipping it here would
+                # pay its assembly cost without the ~3-decade head start
+                from iterative_solvers_tpu.solvers.refine import _maybe_fmg_x0
+
                 res = refined_solve(
                     self._hi_operator(A),
                     A,
@@ -596,6 +619,7 @@ class DirichletSolver:
                     callback=callback,
                     stop_requested=self._stop_event.is_set,
                     profiler=profiler,
+                    x0=_maybe_fmg_x0(M, self.fmg_cycles, b64),
                 )
             b, u = b64, u64
         elif self.operator_kind == "fused":

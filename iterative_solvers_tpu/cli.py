@@ -326,13 +326,14 @@ def _view_domain_2d(res, shape_override):
         interior = _interior_from_coords(res)
     else:
         interior = np.asarray(mask, dtype=bool)
+    # 8-neighborhood dilation INCLUDING the center offset (unlike
+    # Domain2D.boundary's neighbor sweep, which must exclude it)
     pad = np.pad(interior, 1)
     inside = np.zeros_like(interior)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             inside |= pad[1 + dy : pad.shape[0] + dy - 1,
                           1 + dx : pad.shape[1] + dx - 1]
-    inside |= interior
     dom = Domain2D(
         nx=res.nx, ny=res.ny,
         x0=b[0], x1=b[1], y0=b[2], y1=b[3],

@@ -73,10 +73,14 @@ def save_results(path: str, results, solver_name: str = "MSG (conjugate gradient
         f.write(dims + "\n")
         f.write(" ".join(str(v) for v in results.bounds) + "\n")
         f.write(f"{solver_name}\n")
-        if getattr(results, "shape", ""):
-            # extension line (absent in reference files and our own pre-round-3
-            # saves; the loader treats it as optional)
-            f.write(f"SHAPE {results.shape}\n")
+        shape = getattr(results, "shape", "")
+        if shape and shape != "gamma":
+            # optional extension line. Written ONLY for geometries the
+            # reference cannot represent (its loader expects CONVERGENCE
+            # right after the solver name, dirichlet_solver.cpp:315-405, so
+            # gamma saves must stay byte-compatible with it); the loader's
+            # missing-SHAPE fallback is gamma, keeping the round trip exact.
+            f.write(f"SHAPE {shape}\n")
         f.write("CONVERGENCE\n")
         f.write(f"{results.iterations}\n")
         f.write(f"{1 if results.converged else 0}\n")

@@ -673,11 +673,11 @@ class ShardedMultigridPreconditioner:
         pads = [(0, p - g) for p, g in zip(r.shape, self.grid_shape)]
         return jnp.pad(z, pads)
 
-    def fmg(self, r: jnp.ndarray) -> jnp.ndarray:
+    def fmg(self, r: jnp.ndarray, n_vcycles: int = 1) -> jnp.ndarray:
         """FMG initial guess on the mesh-padded layout (crop → fmg → pad;
         GSPMD shards the transfer chains like the V-cycle itself)."""
         sl = tuple(slice(0, s) for s in self.grid_shape)
-        x = self.inner.fmg(r[sl])
+        x = self.inner.fmg(r[sl], n_vcycles)
         pads = [(0, p - g) for p, g in zip(r.shape, self.grid_shape)]
         return jnp.pad(x, pads)
 
@@ -698,9 +698,11 @@ class PaddedPreconditioner:
             return self.inner(r)
         return self.padded_op.pad(self.inner(self.padded_op.crop(r)))
 
-    def fmg(self, r: jnp.ndarray) -> jnp.ndarray:
+    def fmg(self, r: jnp.ndarray, n_vcycles: int = 1) -> jnp.ndarray:
         """FMG initial guess on the operator's padded layout."""
-        return self.padded_op.pad(self.inner.fmg(self.padded_op.crop(r)))
+        return self.padded_op.pad(
+            self.inner.fmg(self.padded_op.crop(r), n_vcycles)
+        )
 
     def call_with_dot(self, r: jnp.ndarray):
         """(z, (r, z)); forwards to the inner V-cycle's fused-dot path when

@@ -462,8 +462,8 @@ def _outer_refine_loop(
     return x, r, stats
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _fmg_start(M, b):
+@partial(jax.jit, static_argnums=(0, 2))
+def _fmg_start(M, b, n_vcycles: int = 1):
     """FMG initial guess as its OWN compiled program.
 
     Folding the FMG chain into the device-IR program looked free but XLA
@@ -473,14 +473,18 @@ def _fmg_start(M, b):
     and only the IR program's final stats fetch blocks — and the IR program
     keeps its known compile time. Memoized per (id-hashed) M like the other
     jit statics."""
-    return M.fmg(b.astype(jnp.float32))
+    return M.fmg(b.astype(jnp.float32), n_vcycles)
 
 
 def _supports_fmg(M) -> bool:
     """True when ``M`` (through any chain of padded/sharded adapters) reaches
     a preconditioner with a real ``fmg``. The adapters delegate ``fmg``
     unconditionally to their ``inner``, so probing only the outermost object
-    would trace into an AttributeError for e.g. a padded Jacobi."""
+    would trace into an AttributeError for e.g. a padded Jacobi.
+
+    Counterpart of ``api._attach_fmg`` (which walks the same adapter chain by
+    concrete class to install the payload) — a new adapter class must be
+    handled in BOTH places or the warm start is silently skipped."""
     while M is not None:
         if getattr(M, "fmg", None) is None:
             return False
@@ -491,10 +495,13 @@ def _supports_fmg(M) -> bool:
     return False
 
 
-def _maybe_fmg_x0(M, fmg: bool, b):
+def _maybe_fmg_x0(M, fmg, b):
+    """FMG warm-start field, or None. ``fmg`` is False/0 (cold start), True
+    (one polish V-cycle per level) or an int n >= 1 (n polish V-cycles —
+    sharp problems where FMG(1) undershoots need 2-3, see tests/test_fmg.py)."""
     if not (fmg and _supports_fmg(M)):
         return None
-    return _fmg_start(M, b)
+    return _fmg_start(M, b, int(fmg))
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
@@ -575,7 +582,7 @@ def fused_refined_solve(
     inner_rel_tol: float = 1e-4,
     inner_max_iter: int = 200,
     max_outer: int = 8,
-    fmg: bool = False,
+    fmg=False,  # False/0 cold | True/1 | int n = FMG polish V-cycles per level
     profiler=None,
 ) -> RefinedResult:
     """Mixed-precision refinement with the WHOLE loop on device.
@@ -738,7 +745,7 @@ def engine_refined_solve(
     inner_rel_tol: float = 1e-4,
     inner_max_iter: int = 200,
     max_outer: int = 8,
-    fmg: bool = False,
+    fmg=False,  # False/0 cold | True/1 | int n = FMG polish V-cycles per level
     profiler=None,
 ) -> RefinedResult:
     """One-dispatch mixed-precision refinement around any fused engine.
@@ -837,7 +844,7 @@ def device_refined_solve(
     inner_rel_tol: float = 1e-4,
     inner_max_iter: int = 200,
     max_outer: int = 8,
-    fmg: bool = False,
+    fmg=False,  # False/0 cold | True/1 | int n = FMG polish V-cycles per level
     profiler=None,
 ) -> RefinedResult:
     """Generic one-dispatch mixed-precision refinement (cf.

@@ -235,3 +235,57 @@ def test_facade_M_cache_rebuilds_on_precision_change():
     assert res.converged
     inner = s._M.inner if isinstance(s._M, PaddedPreconditioner) else s._M
     assert inner.fmg_data is not None, "stale payload-less M reused from cache"
+
+
+def test_fmg_cycles_knob_and_host_path_warm_start():
+    """fmg_cycles plumbs n polish V-cycles end-to-end (round-3 review: the
+    parameter was dead — no call path could pass it), and the host chunked
+    ladder (live callback) gets the same FMG warm start as the device paths."""
+    from iterative_solvers_tpu import DirichletSolver
+
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-8, max_iterations=10000
+    )
+    counts = {}
+    for nv in (0, 1, 2):
+        s = DirichletSolver(
+            nx=64, ny=64, preconditioner="mg", precision="mixed",
+            stop=stop, fmg_cycles=nv,
+        )
+        # a live callback forces the host chunked path on every backend
+        res = s.solve(callback=lambda k, p, r, e: None)
+        assert res.converged
+        counts[nv] = (res.history[0, 2], res.iterations)
+    # cold start begins at the full RHS residual; FMG starts decades lower
+    assert counts[1][0] < 1e-2 * counts[0][0]
+    # extra polish only helps: never worse than FMG(1), total work no higher
+    assert counts[2][0] <= counts[1][0] * 1.001
+    assert counts[1][1] <= counts[0][1]
+
+    with pytest.raises(ValueError, match="fmg_cycles"):
+        DirichletSolver(nx=8, ny=8, fmg_cycles=-1)
+    with pytest.raises(ValueError, match="fmg_cycles"):
+        DirichletSolver(nx=8, ny=8, fmg_cycles=1.5)
+
+
+def test_facade_M_cache_rebuilds_on_problem_swap():
+    """Swapping the problem object must rebuild M even when CPython hands the
+    new problem the old one's recycled id (round-3 review: the id()-only key
+    could silently keep the stale FMG payload)."""
+    import dataclasses as dc
+
+    from iterative_solvers_tpu import DirichletSolver
+
+    s = DirichletSolver(nx=32, ny=32, preconditioner="mg", precision="mixed")
+    s.solve()
+    M_first = s._M
+    assert s._M_problem is s.problem  # the cache pins the problem object
+    # same-grid problem with a scaled RHS: id() may or may not be recycled,
+    # the identity check must catch the swap either way
+    s.problem = dc.replace(
+        s.problem, f=lambda x, y: 2.0 * (x**2 + y**2) * jnp.exp(x**2 - y**2)
+    )
+    res = s.solve()
+    assert res.converged
+    assert s._M is not M_first, "stale preconditioner reused after problem swap"
+    assert s._M_problem is s.problem

@@ -50,10 +50,12 @@ def test_text_format_sections(tmp_path, solved):
     results_io.save_results(p, res)
     lines = open(p).read().splitlines()
     assert lines[0] == "PARAMETERS"
-    # line 4 is our optional SHAPE extension; the reference schema resumes
-    # right after it
-    assert lines[4] == f"SHAPE {res.shape}"
-    assert lines[5] == "CONVERGENCE"
+    # gamma files must stay byte-compatible with the reference loader
+    # (CONVERGENCE right after the solver name); only non-gamma geometries
+    # get the optional SHAPE extension line
+    assert res.shape == "gamma"
+    assert lines[4] == "CONVERGENCE"
+    assert not any(ln.startswith("SHAPE") for ln in lines)
     for sec in ("SOLUTION", "TRUE_SOLUTION", "RESIDUAL", "ERROR", "X_COORDS", "Y_COORDS"):
         assert sec in lines
 
