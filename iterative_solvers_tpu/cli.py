@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--precision", choices=["mixed"], default=None,
                    help="mixed: f64 outer iterative refinement over f32 inner "
                    "MG-PCG — reference-grade accuracy at f32 speed")
+    s.add_argument("--fmg-cycles", type=int, default=1, metavar="N",
+                   help="FMG warm-start polish V-cycles per level for "
+                   "--precision mixed (0 disables; 2-3 for sharp problems)")
     s.add_argument("--platform", choices=["cpu", "tpu"], default=None)
     s.add_argument("--progress-every", type=int, default=100,
                    help="live trace cadence (0 silences it)")
@@ -173,6 +176,7 @@ def cmd_solve(args) -> int:
         z0=args.z0, z1=args.z1, shape=args.shape, mask=args.mask,
         operator=args.operator, beta=args.beta, precond=args.precond,
         precision=args.precision, dtype=args.dtype,
+        fmg_cycles=args.fmg_cycles,
         eps_precision=args.eps_precision, eps_residual=args.eps_residual,
         eps_error=args.eps_error, eps_relative=args.eps_relative,
         max_iter=args.max_iter,

@@ -76,6 +76,9 @@ class SolveConfig:
     precond: Optional[str] = None  # jacobi | chebyshev[:m] | mg[:nu]
     precision: Optional[str] = None  # None | mixed
     dtype: Optional[str] = None  # f32 | f64 | None (platform default)
+    # FMG warm-start polish V-cycles per level for precision='mixed'
+    # (0 disables; 2-3 for sharp problems — tests/test_fmg.py)
+    fmg_cycles: int = 1
 
     # stop criteria (eps <= 0 disables; reference dirichlet_solver.cpp:14-16)
     eps_precision: float = 1e-6
@@ -139,6 +142,7 @@ class SolveConfig:
             preconditioner=self.precond,
             precision=self.precision,
             mesh=mesh,
+            fmg_cycles=self.fmg_cycles,
         )
 
     # --- serialization ------------------------------------------------------

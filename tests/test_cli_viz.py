@@ -132,6 +132,22 @@ def test_cli_view_uses_recorded_shape(tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_cli_fmg_cycles_flag(tmp_path, capsys):
+    """--fmg-cycles reaches the facade (0 = cold start still converges) and
+    round-trips through the config file."""
+    rc = main(["solve", "--nx", "32", "--ny", "32", "--precond", "mg",
+               "--precision", "mixed", "--fmg-cycles", "0",
+               "--save-config", str(tmp_path / "c.json"),
+               "--quiet", "--progress-every", "0"])
+    assert rc == 0
+    capsys.readouterr()
+    from iterative_solvers_tpu.config import SolveConfig
+
+    cfg = SolveConfig.load(str(tmp_path / "c.json"))
+    assert cfg.fmg_cycles == 0
+    assert cfg.make_solver().fmg_cycles == 0
+
+
 def test_cli_solve_mask_file(tmp_path, capsys):
     """--mask FILE makes custom domains reachable from the CLI; the saved
     results then view correctly through the coordinate reconstruction."""
