@@ -587,9 +587,15 @@ def _bench_scaling() -> None:
             mesh = make_solver_mesh(devices=mesh_devices)
             op, b, _ = make_sharded_problem(prob, mesh, jnp.float32)
         cg_solve(op, b, options=opts)  # compile
-        t0 = time.perf_counter()
-        cg_solve(op, b, options=opts)
-        return time.perf_counter() - t0
+        # Best of 3: a single sample puts any transient VM-load spike straight
+        # into the efficiency ratio (observed: same code, same box, 0.75 vs
+        # 1.01 across days). min() is the least-interference estimate.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cg_solve(op, b, options=opts)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     if d == 1:
         # one device: the two runs would be the same measurement; report the
