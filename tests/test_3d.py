@@ -28,7 +28,7 @@ def test_facade_3d_solve():
     assert res.converged
     assert res.solution.size == 11**3
     assert res.z_coords is not None and res.z_coords.size == 11**3
-    # O(h²) discretization error for u = sin(pi x)sin(pi y)sin(pi z)
+    # O(h²) discretization error for u = exp(xyz) on [0,1]³
     assert res.error_norm < 3.0 / 12**2
     assert len(res.bounds) == 6
     assert "x 12 intervals" in res.report()
