@@ -358,9 +358,9 @@ def _bench_solve_3d(n: int) -> None:
     from iterative_solvers_tpu.solvers.refine import device_refined_solve
 
     pop3 = Pallas3DStencilOperator.from_domain(dom)
-    A_hi3 = StencilOperator(
-        jnp.asarray(pop3.interior_padded()), pop3.coeffs, ndim=3
-    )
+    from iterative_solvers_tpu.solvers.refine import _padded_hi_operator
+
+    A_hi3 = _padded_hi_operator(pop3)  # MaskSpec-based: no 135 MB constant
     # FMG warm start (round 3): on [0,1]³ the manufactured exp(xyz) is mild,
     # so one nested-iteration pass buys ~3 residual decades here too
     Mp3 = PaddedPreconditioner(inner=M.with_fmg(prob), padded_op=pop3)

@@ -52,6 +52,111 @@ def _gamma_inside(nx: int, ny: int) -> MaskFn:
 
 
 @dataclass(frozen=True)
+class MaskSpec:
+    """Closed-form recipe for a gamma/rect/box interior mask, evaluated
+    IN-TRACE from ``lax.broadcasted_iota`` comparisons.
+
+    Why this exists: a concrete ``(ny+1, nx+1)`` bool mask captured in a jit
+    closure is embedded into the lowered program as a constant. At 8192² the
+    multigrid hierarchy's masks plus the FMG payload added up to ~165 MB of
+    HLO text, and *serializing those constants* — not XLA itself — dominated
+    program build time on a single-core host (lower 291 s vs XLA compile
+    40 s, NOTES_PERF.md 2026-08-19). A mask built from iota is a handful of
+    fused compare instructions: zero constants, zero HBM traffic (it fuses
+    into its consumer instead of being read from memory).
+
+    ``shape`` is the canvas the mask is evaluated on — it may be LARGER than
+    the logical ``(ny+1, nx+1)`` node grid (the Pallas operators' padded
+    layouts); padding rows/cols are outside the strict inequalities, hence
+    False, exactly matching a zero-padded host mask.
+
+    ``kind``: ``'gamma'`` (reference Г-domain, grid_system.cpp:86-89),
+    ``'rect'``, or ``'box'`` (3D). Custom domains have no closed form and
+    keep their array masks.
+    """
+
+    kind: str  # 'gamma' | 'rect' | 'box'
+    nx: int
+    ny: int
+    shape: Tuple[int, ...]  # canvas shape, >= logical node-grid shape
+    nz: int = 0
+
+    def build(self):
+        """The interior (unknowns) mask as a traced bool array."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        if self.kind == "box":
+            iz = lax.broadcasted_iota(jnp.int32, self.shape, 0)
+            iy = lax.broadcasted_iota(jnp.int32, self.shape, 1)
+            ix = lax.broadcasted_iota(jnp.int32, self.shape, 2)
+            return (
+                (0 < ix) & (ix < self.nx)
+                & (0 < iy) & (iy < self.ny)
+                & (0 < iz) & (iz < self.nz)
+            )
+        iy = lax.broadcasted_iota(jnp.int32, self.shape, 0)
+        ix = lax.broadcasted_iota(jnp.int32, self.shape, 1)
+        m = (0 < ix) & (ix < self.nx) & (0 < iy) & (iy < self.ny)
+        if self.kind == "gamma":
+            # The quadrant edge nodes (ix == nx/2 for iy <= ny/2 and
+            # iy == ny/2 for ix <= nx/2) are Dirichlet boundary, not
+            # unknowns — closed form of Domain2D.interior for the Г-shape.
+            m = m & ~((ix <= self.nx // 2) & (iy <= self.ny // 2))
+        return m
+
+    def build_inside(self):
+        """The domain-closure mask (interior + boundary) as a traced array."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        if self.kind == "box":
+            return jnp.ones(self.shape, bool) if self.shape == (
+                self.nz + 1, self.ny + 1, self.nx + 1
+            ) else self._within_logical()
+        if self.kind == "rect":
+            return self._within_logical()
+        iy = lax.broadcasted_iota(jnp.int32, self.shape, 0)
+        ix = lax.broadcasted_iota(jnp.int32, self.shape, 1)
+        return self._within_logical() & ~(
+            (ix < self.nx // 2) & (iy < self.ny // 2)
+        )
+
+    def _within_logical(self):
+        import jax.numpy as jnp
+        from jax import lax
+
+        logical = (
+            (self.nz + 1, self.ny + 1, self.nx + 1)
+            if self.kind == "box"
+            else (self.ny + 1, self.nx + 1)
+        )
+        m = None
+        for d, n1 in enumerate(logical):
+            c = lax.broadcasted_iota(jnp.int32, self.shape, d) < n1
+            m = c if m is None else (m & c)
+        return m
+
+    def build_host(self) -> np.ndarray:
+        """:meth:`build` evaluated with numpy, for host-side consumers
+        (nnz counts, golden tests) that shouldn't pay a device round-trip."""
+        grids = np.ogrid[tuple(slice(0, s) for s in self.shape)]
+        if self.kind == "box":
+            iz, iy, ix = grids
+            m = (
+                (0 < ix) & (ix < self.nx)
+                & (0 < iy) & (iy < self.ny)
+                & (0 < iz) & (iz < self.nz)
+            )
+        else:
+            iy, ix = grids
+            m = (0 < ix) & (ix < self.nx) & (0 < iy) & (iy < self.ny)
+            if self.kind == "gamma":
+                m = m & ~((ix <= self.nx // 2) & (iy <= self.ny // 2))
+        return np.broadcast_to(m, self.shape).copy()
+
+
+@dataclass(frozen=True)
 class Domain2D:
     """A 2D finite-difference node grid over ``[x0, x1] x [y0, y1]``.
 
@@ -172,6 +277,33 @@ class Domain2D:
     def num_unknowns(self) -> int:
         return int(self.interior.sum())
 
+    # --- traced masks (see MaskSpec: no multi-MB jit constants) -------------
+
+    @property
+    def mask_spec(self) -> Optional[MaskSpec]:
+        """Closed-form mask recipe, or None for shape='custom'."""
+        if self.shape in ("gamma", "rect"):
+            return MaskSpec(self.shape, self.nx, self.ny, self.grid_shape)
+        return None
+
+    def interior_traced(self):
+        """``interior`` as a traced (jit-safe, constant-free) array; custom
+        shapes fall back to embedding the host mask."""
+        spec = self.mask_spec
+        if spec is not None:
+            return spec.build()
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.interior)
+
+    def boundary_traced(self):
+        spec = self.mask_spec
+        if spec is not None:
+            return spec.build_inside() & ~spec.build()
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.boundary)
+
     # --- convenience --------------------------------------------------------
 
     def with_resolution(self, nx: int, ny: int) -> "Domain2D":
@@ -264,3 +396,13 @@ class Domain3D:
     @property
     def num_unknowns(self) -> int:
         return (self.nx - 1) * (self.ny - 1) * (self.nz - 1)
+
+    @property
+    def mask_spec(self) -> MaskSpec:
+        return MaskSpec("box", self.nx, self.ny, self.grid_shape, nz=self.nz)
+
+    def interior_traced(self):
+        return self.mask_spec.build()
+
+    def boundary_traced(self):
+        return self.mask_spec.build_inside() & ~self.mask_spec.build()

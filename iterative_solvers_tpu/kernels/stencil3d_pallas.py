@@ -219,11 +219,20 @@ class Pallas3DStencilOperator:
             & (ci > 0) & (ci < self.nx)
         )
 
+    def _interior_traced(self) -> jnp.ndarray:
+        """Padded interior mask built in-trace (box closed form) — a captured
+        513³ bool would embed ~135 MB of HLO constant (core.domain.MaskSpec)."""
+        from iterative_solvers_tpu.core.domain import MaskSpec
+
+        return MaskSpec(
+            "box", self.nx, self.ny, tuple(self.padded_shape), nz=self.nz
+        ).build()
+
     def mask(self, x: jnp.ndarray) -> jnp.ndarray:
-        return jnp.where(jnp.asarray(self.interior_padded()), x, 0)
+        return jnp.where(self._interior_traced(), x, 0)
 
     def diagonal(self) -> jnp.ndarray:
-        return jnp.where(jnp.asarray(self.interior_padded()), self.coeffs[0], 0.0)
+        return jnp.where(self._interior_traced(), self.coeffs[0], 0.0)
 
     def nnz(self) -> int:
         from iterative_solvers_tpu.ops.stencil import StencilOperator

@@ -310,11 +310,23 @@ class PallasStencilOperator:
         ri, ci = np.mgrid[0 : self.padded_shape[0], 0 : self.padded_shape[1]]
         return np.asarray(_interior_pred(self.mask_mode, self.nx, self.ny)(ri, ci))
 
+    def _interior_traced(self) -> jnp.ndarray:
+        """Padded interior mask, built in-trace for gamma/rect (a captured
+        full-grid bool would embed as a multi-MB HLO constant — see
+        core.domain.MaskSpec); custom masks keep the mask8 array."""
+        if self.mask_mode in ("gamma", "rect"):
+            from iterative_solvers_tpu.core.domain import MaskSpec
+
+            return MaskSpec(
+                self.mask_mode, self.nx, self.ny, tuple(self.padded_shape)
+            ).build()
+        return jnp.asarray(self.interior_padded())
+
     def mask(self, x: jnp.ndarray) -> jnp.ndarray:
-        return jnp.where(jnp.asarray(self.interior_padded()), x, 0)
+        return jnp.where(self._interior_traced(), x, 0)
 
     def diagonal(self) -> jnp.ndarray:
-        return jnp.where(jnp.asarray(self.interior_padded()), self.coeffs[0], 0.0)
+        return jnp.where(self._interior_traced(), self.coeffs[0], 0.0)
 
     def nnz(self) -> int:
         from iterative_solvers_tpu.ops.stencil import StencilOperator

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+from iterative_solvers_tpu.core.domain import Domain2D, Domain3D, MaskSpec
 
 
 @partial(jax.jit, static_argnames=("cd", "cx", "cy"))
@@ -70,17 +70,32 @@ class StencilOperator:
     (solver/matrix_free_system.cpp:203-340) — one object, zero stored matrix.
     """
 
-    interior: jnp.ndarray  # bool, full grid shape
+    interior_arr: Optional[jnp.ndarray]  # bool, full grid shape (custom masks)
     coeffs: Tuple[float, ...]  # (cd, cx, cy[, cz])
     ndim: int = 2
+    # Closed-form mask recipe (gamma/rect/box): the mask is rebuilt in-trace
+    # from iota instead of being captured — a captured full-grid bool becomes
+    # a multi-MB constant in every program that closes over this operator
+    # (e.g. the device-IR ladder), and serializing those constants dominated
+    # program build time at 8192² (NOTES_PERF.md 2026-08-19).
+    mask_spec: Optional[MaskSpec] = None
 
     @staticmethod
     def from_domain(domain, dtype=None) -> "StencilOperator":
+        spec = domain.mask_spec
+        arr = None if spec is not None else jnp.asarray(domain.interior)
         if isinstance(domain, Domain3D):
             coeffs = (domain.coeff_diag, domain.coeff_x, domain.coeff_y, domain.coeff_z)
-            return StencilOperator(jnp.asarray(domain.interior), coeffs, ndim=3)
+            return StencilOperator(arr, coeffs, ndim=3, mask_spec=spec)
         coeffs = (domain.coeff_diag, domain.coeff_x, domain.coeff_y)
-        return StencilOperator(jnp.asarray(domain.interior), coeffs, ndim=2)
+        return StencilOperator(arr, coeffs, ndim=2, mask_spec=spec)
+
+    @property
+    def interior(self) -> jnp.ndarray:
+        """Interior mask — traced (constant-free) when a closed form exists."""
+        if self.interior_arr is not None:
+            return self.interior_arr
+        return self.mask_spec.build()
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.ndim == 3:
@@ -89,7 +104,9 @@ class StencilOperator:
 
     @property
     def shape(self):
-        return self.interior.shape
+        if self.interior_arr is not None:
+            return self.interior_arr.shape
+        return self.mask_spec.shape
 
     def mask(self, x: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(self.interior, x, 0)
@@ -103,7 +120,10 @@ class StencilOperator:
         """Stored-matrix-equivalent nonzero count (diagonal + interior-interior
         neighbor links), i.e. the nnz of the reference's CSR assembly — used
         for the nnz/s throughput metric in BASELINE.md."""
-        m = np.asarray(self.interior)
+        if self.interior_arr is not None:
+            m = np.asarray(self.interior_arr)
+        else:  # rebuild on host — no device round-trip for a pure count
+            m = self.mask_spec.build_host()
         total = int(m.sum())  # diagonal entries
         for ax in range(m.ndim):
             sl_lo = [slice(None)] * m.ndim

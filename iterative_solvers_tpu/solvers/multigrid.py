@@ -37,6 +37,7 @@ recurrence in solvers/cg.py handles that sign convention unchanged.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from dataclasses import dataclass
 from typing import Callable, Optional, Tuple
@@ -45,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iterative_solvers_tpu.core.domain import Domain2D, Domain3D
+from iterative_solvers_tpu.core.domain import Domain2D, Domain3D, MaskSpec
 
 
 # --------------------------------------------------------------------------
@@ -161,13 +162,32 @@ def _assemble_dense(d) -> Tuple[np.ndarray, np.ndarray]:
 
 @dataclass(frozen=True, eq=False)
 class _Level:
-    interior: jnp.ndarray  # bool mask, this level's grid shape
+    # Custom masks keep a concrete array; gamma/rect/box levels carry a
+    # MaskSpec and rebuild the mask in-trace from iota — a captured bool
+    # array becomes a multi-MB HLO constant in every program closing over
+    # the hierarchy, and serializing those constants dominated program
+    # build time at 8192² (291 s lower vs 40 s XLA, NOTES_PERF 2026-08-19).
+    interior_arr: Optional[jnp.ndarray]  # bool mask, or None with mask_spec
     coeffs: Tuple[float, ...]  # (cd, c_axis0, c_axis1[, c_axis2]) in axis order
     omega_over_diag: float  # ω / diag(A) — one Jacobi sweep scaling
+    mask_spec: Optional["MaskSpec"] = None
+
+    @property
+    def interior(self) -> jnp.ndarray:
+        if self.interior_arr is not None:
+            return self.interior_arr
+        return self.mask_spec.build()
+
+    @property
+    def grid_shape(self) -> Tuple[int, ...]:
+        if self.interior_arr is not None:
+            return tuple(self.interior_arr.shape)
+        return tuple(self.mask_spec.shape)
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         """Masked stencil apply, inlined per-level (levels differ in shape)."""
-        xm = jnp.where(self.interior, x, 0)
+        interior = self.interior
+        xm = jnp.where(interior, x, 0)
         p = jnp.pad(xm, 1)
         y = self.coeffs[0] * xm
         for ax in range(x.ndim):
@@ -178,7 +198,7 @@ class _Level:
                 slice(2, None) if a == ax else slice(1, -1) for a in range(x.ndim)
             )
             y = y + self.coeffs[1 + ax] * (p[sl_lo] + p[sl_hi])
-        return jnp.where(self.interior, y, 0)
+        return jnp.where(interior, y, 0)
 
     def mask(self, x: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(self.interior, x, 0)
@@ -187,10 +207,17 @@ class _Level:
 @dataclass(frozen=True, eq=False)
 class _CoarseSolveDense:
     """e = A⁻¹ b on the coarsest level via a precomputed dense inverse,
-    applied gather → matmul → scatter with static index sets."""
+    applied gather → matmul → scatter with static index sets.
 
-    idx: jnp.ndarray  # int32 flat indices of interior nodes
-    a_inv: jnp.ndarray  # (P, P) dense inverse
+    ``idx``/``a_inv`` are HOST (numpy) arrays on purpose: a device-resident
+    jnp array captured in a jit closure must be fetched back to the host at
+    lowering time to be embedded as a constant, and over the tunneled TPU
+    that blocking fetch is slow and wildly variable (it rode behind queued
+    device work for minutes in the worst measured case, NOTES_PERF
+    2026-08-19). A numpy constant embeds with no device round-trip."""
+
+    idx: np.ndarray  # int32 flat indices of interior nodes
+    a_inv: np.ndarray  # (P, P) dense inverse
 
     def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
         bp = b.ravel()[self.idx]
@@ -235,8 +262,15 @@ class _FusedLevel:
     ch: int  # child rows (ny/2+1)
     cw: int  # child cols (nx/2+1)
     nx: int
-    child_interior: jnp.ndarray  # bool (ch, cw)
+    child_interior_arr: Optional[jnp.ndarray]  # bool (ch, cw), custom masks
     jnp_level: _Level  # fallback for non-f32 fields (the kernels are f32-only)
+    child_mask_spec: Optional["MaskSpec"] = None  # in-trace child mask
+
+    @property
+    def child_interior(self) -> jnp.ndarray:
+        if self.child_interior_arr is not None:
+            return self.child_interior_arr
+        return self.child_mask_spec.build()
 
     def pad_in(self, f: jnp.ndarray) -> jnp.ndarray:
         hp, wp = self.kernels.padded_shape
@@ -257,8 +291,15 @@ class _FusedLevel3D:
     kernels: object  # FusedLevelKernels3D
     h: int  # unpadded y extent (ny+1)
     w: int  # unpadded x extent (nx+1)
-    child_interior: jnp.ndarray  # bool, child grid shape
+    child_interior_arr: Optional[jnp.ndarray]  # bool, child grid shape
     jnp_level: _Level  # fallback for non-f32 fields
+    child_mask_spec: Optional["MaskSpec"] = None
+
+    @property
+    def child_interior(self) -> jnp.ndarray:
+        if self.child_interior_arr is not None:
+            return self.child_interior_arr
+        return self.child_mask_spec.build()
 
     def pad_in(self, f: jnp.ndarray) -> jnp.ndarray:
         d, hp, wp = self.kernels.padded_shape
@@ -324,10 +365,14 @@ class MultigridPreconditioner:
                 coeffs = (d.coeff_diag, d.coeff_z, d.coeff_y, d.coeff_x)
             else:
                 coeffs = (d.coeff_diag, d.coeff_y, d.coeff_x)
+            spec = d.mask_spec
             return _Level(
-                interior=jnp.asarray(np.asarray(d.interior)),
+                interior_arr=(
+                    None if spec is not None else jnp.asarray(np.asarray(d.interior))
+                ),
                 coeffs=coeffs,
                 omega_over_diag=omega / d.coeff_diag,
+                mask_spec=spec,
             )
 
         if fuse is None:
@@ -379,6 +424,7 @@ class MultigridPreconditioner:
                 interpret=interpret,
                 mask8=mask8,
             )
+            cspec = c.mask_spec
             return _FusedLevel(
                 kernels=k,
                 h=h,
@@ -386,8 +432,11 @@ class MultigridPreconditioner:
                 ch=c.grid_shape[0],
                 cw=c.grid_shape[1],
                 nx=d.nx,
-                child_interior=jnp.asarray(np.asarray(c.interior)),
+                child_interior_arr=(
+                    None if cspec is not None else jnp.asarray(np.asarray(c.interior))
+                ),
                 jnp_level=make_level(d),
+                child_mask_spec=cspec,
             )
 
         def make_fused_3d(idx: int) -> "_FusedLevel3D":
@@ -416,8 +465,9 @@ class MultigridPreconditioner:
                 kernels=k,
                 h=h,
                 w=w,
-                child_interior=jnp.asarray(np.asarray(c.interior)),
+                child_interior_arr=None,  # 3D is always a box — spec below
                 jnp_level=make_level(d),
+                child_mask_spec=c.mask_spec,
             )
 
         def build_level(i, d):
@@ -431,8 +481,10 @@ class MultigridPreconditioner:
             idx, A = _assemble_dense(coarsest)
             a_inv = np.linalg.inv(A)
             coarse = _CoarseSolveDense(
-                idx=jnp.asarray(idx, jnp.int32),
-                a_inv=jnp.asarray(a_inv, dtype or jnp.zeros(0).dtype),
+                idx=np.asarray(idx, np.int32),
+                a_inv=np.asarray(
+                    a_inv, np.dtype(dtype) if dtype else jnp.zeros(0).dtype
+                ),
             )
         else:
             from iterative_solvers_tpu.solvers.precond import spectral_bounds
@@ -525,9 +577,15 @@ class MultigridPreconditioner:
         fine RHS instead smears its O(1/h²) boundary-adjacent rows and costs
         FMG two orders of accuracy, measured at 64²) and per-level Dirichlet
         boundary fields (so prolongation interpolates g at the boundary, not
-        the masked 0). Assembled host-side once; the arrays ride jit closures
-        exactly like the level masks."""
+        the masked 0).
+
+        The payload entries are LAZY recipes (the rediscretized problem's
+        traced assembly, ``rhs_field_traced``/``boundary_field_traced``),
+        evaluated inside the FMG programs: concrete arrays would be embedded
+        as multi-MB HLO constants (the program-build bottleneck, see
+        MaskSpec) and cost a host transcendental sweep per level here."""
         import dataclasses as dc
+        import functools as ft
 
         if not self.domains:
             raise ValueError("preconditioner built without level domains")
@@ -535,10 +593,9 @@ class MultigridPreconditioner:
         for li, d in enumerate(self.domains):
             p = dc.replace(problem, domain=d)
             # finest level: b comes from the caller and its boundary field is
-            # never interpolated FROM (only coarse levels are prolongated) —
-            # skip both, saving the two full-resolution arrays
-            rhs = None if li == 0 else p.rhs_field(dtype)
-            g = None if li == 0 else p.boundary_field(dtype)
+            # never interpolated FROM (only coarse levels are prolongated)
+            rhs = None if li == 0 else ft.partial(p.rhs_field_traced, dtype)
+            g = None if li == 0 else ft.partial(p.boundary_field_traced, dtype)
             data.append((rhs, g))
         return dc.replace(self, fmg_data=tuple(data))
 
@@ -569,10 +626,10 @@ class MultigridPreconditioner:
             gs = [None] * len(self.levels)
         else:
             bs = [b] + [
-                jnp.asarray(rhs, b.dtype) for rhs, _ in self.fmg_data[1:]
+                jnp.asarray(rhs(), b.dtype) for rhs, _ in self.fmg_data[1:]
             ]
             gs = [
-                None if g is None else jnp.asarray(g, b.dtype)
+                None if g is None else jnp.asarray(g(), b.dtype)
                 for _, g in self.fmg_data
             ]
         x = self.coarse_solve(bs[-1])
@@ -583,6 +640,46 @@ class MultigridPreconditioner:
             for _ in range(n_vcycles):
                 r = bs[li] - self._apply_at(li, x)
                 x = x + self._vcycle(li, r)
+        return x
+
+    def fmg_stepwise(
+        self,
+        b: jnp.ndarray,
+        n_vcycles: int = 1,
+        polish_max_extent: Optional[int] = None,
+        smooth_sweeps: int = 4,
+    ) -> jnp.ndarray:
+        """:meth:`fmg` as one compiled program PER LEVEL (async dispatches).
+
+        The monolithic FMG program inlines a full V-cycle at every level —
+        O(levels²) level instances in one XLA program whose build time
+        dominated the official bench (it timed round 3 out). Per-level
+        programs cap each build at one V-cycle's size; JAX dispatches are
+        async, so the L extra dispatches add no host round-trips.
+
+        ``polish_max_extent`` bounds the build cost further: levels whose
+        grid extent exceeds it replace the V-cycle polish with
+        ``smooth_sweeps`` weighted-Jacobi sweeps — compile-trivial programs
+        that still kill the high-frequency interpolation error prolongation
+        introduces (the low-frequency error is already at coarse-solve
+        quality). Measured at 1024²: full polish lands rel 7.3e-6,
+        cutoff-513 + 2 sweeps 9.7e-6, no-V-cycles + 4 sweeps 1.2e-5 —
+        versus 1.4e-4 for cutoff-513 with NO smoothing. Default None keeps
+        :meth:`fmg` numerics exactly (V-cycle polish everywhere).
+
+        Requires the :meth:`with_fmg` payload.
+        """
+        if self.fmg_data is None:
+            raise ValueError("fmg_stepwise requires the with_fmg payload")
+        x = _fmg_rung_coarsest(self, b)
+        for li in range(len(self.levels) - 2, -1, -1):
+            nv = int(n_vcycles)
+            if (
+                polish_max_extent is not None
+                and max(self.domains[li].grid_shape) > polish_max_extent
+            ):
+                nv = 0
+            x = _fmg_rung(self, li, nv, int(smooth_sweeps), x, b)
         return x
 
     def accepts_padded(self, shape) -> bool:
@@ -601,7 +698,7 @@ class MultigridPreconditioner:
         elif isinstance(lev0, _FusedLevel3D):
             shape0 = (lev0.kernels.padded_shape[0], lev0.h, lev0.w)
         else:
-            shape0 = lev0.interior.shape
+            shape0 = lev0.grid_shape
         if r.shape != shape0 and not (
             r.dtype == jnp.float32 and self.accepts_padded(r.shape)
         ):
@@ -638,6 +735,54 @@ class MultigridPreconditioner:
     @property
     def num_levels(self) -> int:
         return len(self.levels)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fmg_rung_coarsest(M: MultigridPreconditioner, b) -> jnp.ndarray:
+    """Coarsest FMG rung: exact solve of the REdiscretized coarsest problem.
+    The RHS is a ``with_fmg`` closure constant — except when the hierarchy
+    has a single level, where the coarsest IS the finest and the caller's
+    ``b`` is the RHS (the payload stores None for the finest level)."""
+    rhs = M.fmg_data[-1][0]
+    bc = b.astype(jnp.float32) if rhs is None else jnp.asarray(rhs(), jnp.float32)
+    return M.coarse_solve(bc)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _fmg_rung(
+    M: MultigridPreconditioner,
+    li: int,
+    n_vcycles: int,
+    n_smooth: int,
+    x: jnp.ndarray,
+    b,
+) -> jnp.ndarray:
+    """One FMG rung: BC-aware prolongation of the level-``li+1`` solution to
+    level ``li`` plus polish — ``n_vcycles`` V-cycles (the same op sequence
+    as the matching slice of :meth:`MultigridPreconditioner.fmg`), or, when
+    ``n_vcycles == 0``, ``n_smooth`` weighted-Jacobi sweeps (the
+    compile-cheap fine-level polish of ``fmg_stepwise``). ``b`` (the
+    caller's finest RHS) is only read at ``li == 0``; coarse RHS are lazy
+    with_fmg recipes evaluated in-trace."""
+    g = M.fmg_data[li + 1][1]
+    if g is not None:
+        x = x + jnp.asarray(g(), x.dtype)
+    x = M.levels[li].mask(prolong_linear(x))
+    bl = (
+        b.astype(jnp.float32)
+        if li == 0
+        else jnp.asarray(M.fmg_data[li][0](), jnp.float32)
+    )
+    if n_vcycles > 0:
+        for _ in range(n_vcycles):
+            r = bl - M._apply_at(li, x)
+            x = x + M._vcycle(li, r)
+    else:
+        lev = M.levels[li]
+        jl = getattr(lev, "jnp_level", lev)
+        for _ in range(n_smooth):
+            x = x + jl.omega_over_diag * (bl - M._apply_at(li, x))
+    return x
 
 
 @dataclass(frozen=True, eq=False)
@@ -703,6 +848,12 @@ class PaddedPreconditioner:
         return self.padded_op.pad(
             self.inner.fmg(self.padded_op.crop(r), n_vcycles)
         )
+
+    def fmg_stepwise(self, r: jnp.ndarray, n_vcycles: int = 1, **kw) -> jnp.ndarray:
+        """Per-level-program FMG on the padded layout (crop and pad run as
+        eager slice/pad dispatches around the inner rung programs)."""
+        x = self.inner.fmg_stepwise(self.padded_op.crop(r), n_vcycles, **kw)
+        return self.padded_op.pad(x)
 
     def call_with_dot(self, r: jnp.ndarray):
         """(z, (r, z)); forwards to the inner V-cycle's fused-dot path when

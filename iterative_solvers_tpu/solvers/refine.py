@@ -495,12 +495,44 @@ def _supports_fmg(M) -> bool:
     return False
 
 
+def _fmg_payload(M):
+    """The innermost ``fmg_data`` payload through the adapter chain, or None."""
+    while M is not None:
+        data = getattr(M, "fmg_data", None)
+        if data is not None:
+            return data
+        M = getattr(M, "inner", None)
+    return None
+
+
+# Levels with grid extent above this bound polish with weighted-Jacobi
+# sweeps instead of a V-cycle in the stepwise FMG warm start. Program build
+# time of a fine-level V-cycle rung at 8192² is minutes on the tunneled TPU
+# (the round-3 official bench timed out on it); the smoothing variant builds
+# in seconds and measures essentially the same landing residual
+# (multigrid.fmg_stepwise docstring). Grids up to 512² are unaffected —
+# their warm start stays bit-identical to the monolithic fmg().
+_FMG_POLISH_MAX_EXTENT = 512
+_FMG_SMOOTH_SWEEPS = 4
+
+
 def _maybe_fmg_x0(M, fmg, b):
     """FMG warm-start field, or None. ``fmg`` is False/0 (cold start), True
     (one polish V-cycle per level) or an int n >= 1 (n polish V-cycles —
     sharp problems where FMG(1) undershoots need 2-3, see tests/test_fmg.py)."""
     if not (fmg and _supports_fmg(M)):
         return None
+    # Prefer the per-level-program dispatch: same arithmetic, but the
+    # monolithic FMG program is O(levels²) level instances and its build
+    # dominated bench wall time (NOTES_PERF 2026-08-19).
+    step = getattr(M, "fmg_stepwise", None)
+    if step is not None and _fmg_payload(M) is not None:
+        return step(
+            b,
+            int(fmg),
+            polish_max_extent=_FMG_POLISH_MAX_EXTENT,
+            smooth_sweeps=_FMG_SMOOTH_SWEEPS,
+        )
     return _fmg_start(M, b, int(fmg))
 
 
@@ -726,9 +758,18 @@ def _padded_hi_operator(pop):
     """High-precision jnp stencil on the Pallas operator's padded layout.
 
     Memoized per operator: a fresh object each call would be a new id-hashed
-    jit static for _device_ir and recompile the entire program per solve."""
+    jit static for _device_ir and recompile the entire program per solve.
+    For gamma/rect the padded mask rides as a MaskSpec (built in-trace from
+    iota) so the device-IR program embeds no full-grid constant."""
+    from iterative_solvers_tpu.core.domain import MaskSpec
     from iterative_solvers_tpu.ops.stencil import StencilOperator
 
+    if len(pop.padded_shape) == 3:  # Pallas3DStencilOperator (box domain)
+        spec = MaskSpec("box", pop.nx, pop.ny, tuple(pop.padded_shape), nz=pop.nz)
+        return StencilOperator(None, pop.coeffs, ndim=3, mask_spec=spec)
+    if pop.mask_mode in ("gamma", "rect"):
+        spec = MaskSpec(pop.mask_mode, pop.nx, pop.ny, tuple(pop.padded_shape))
+        return StencilOperator(None, pop.coeffs, ndim=2, mask_spec=spec)
     return StencilOperator(
         jnp.asarray(pop.interior_padded()), pop.coeffs, ndim=2
     )

@@ -289,3 +289,78 @@ def test_facade_M_cache_rebuilds_on_problem_swap():
     assert res.converged
     assert s._M is not M_first, "stale preconditioner reused after problem swap"
     assert s._M_problem is s.problem
+
+
+@pytest.mark.parametrize("shape", ["gamma", "rect"])
+def test_fmg_stepwise_matches_monolithic(shape):
+    """fmg_stepwise (one compiled program per level — the compile-time fix
+    for the monolithic O(levels²) FMG program) is the same op sequence as
+    fmg(); only XLA fusion boundaries differ, so fields agree to f32
+    round-off. Also covers the single-level hierarchy (coarsest == finest,
+    payload RHS None) via the 30² grid."""
+    for n, nv in ((64, 1), (64, 2), (30, 1)):
+        if shape == "gamma" and n % 2:
+            continue
+        dom, prob, op, b = _setup(n, shape, dtype=jnp.float32)
+        M = MultigridPreconditioner.from_domain(dom).with_fmg(prob)
+        x_mono = np.asarray(M.fmg(b, nv))
+        x_step = np.asarray(M.fmg_stepwise(b, nv))
+        scale = np.max(np.abs(x_mono))
+        assert np.max(np.abs(x_mono - x_step)) <= 1e-5 * scale
+
+
+def test_fmg_stepwise_requires_payload():
+    dom, prob, op, b = _setup(32)
+    M = MultigridPreconditioner.from_domain(dom)
+    with pytest.raises(ValueError, match="with_fmg"):
+        M.fmg_stepwise(b)
+
+
+def test_fused_device_loop_uses_stepwise_fmg(monkeypatch):
+    """The headline path's warm start routes through fmg_stepwise (the
+    monolithic program is the compile-time hazard the round-3 bench timed
+    out on); the solve still converges to the same criterion."""
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers import refine
+    from iterative_solvers_tpu.solvers.multigrid import PaddedPreconditioner
+    from iterative_solvers_tpu.solvers.refine import fused_refined_solve
+
+    dom, prob, op, b64 = _setup(32)
+    pop = PallasStencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom).with_fmg(prob)
+    Mp = PaddedPreconditioner(inner=M, padded_op=pop)
+    calls = []
+    orig = type(M).fmg_stepwise
+    monkeypatch.setattr(
+        type(M), "fmg_stepwise",
+        lambda self, b, nv=1, **kw: (calls.append(nv), orig(self, b, nv, **kw))[1],
+    )
+
+    def fail_monolithic(*a, **k):  # pragma: no cover - guard
+        raise AssertionError("monolithic _fmg_start used on the payload path")
+
+    monkeypatch.setattr(refine, "_fmg_start", fail_monolithic)
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-9, max_iterations=10000
+    )
+    res = fused_refined_solve(pop, Mp, b64, stop=stop, fmg=True)
+    assert res.converged and calls == [1]
+
+
+def test_fmg_stepwise_smoothing_polish_quality():
+    """With the polish cutoff, levels above the extent bound replace the
+    V-cycle polish by weighted-Jacobi sweeps; the landing residual stays
+    within ~2x of full polish (the compile-time/quality trade the official
+    bench rides — refine._FMG_POLISH_MAX_EXTENT)."""
+    dom, prob, op, b = _setup(256, dtype=jnp.float32)
+    M = MultigridPreconditioner.from_domain(dom).with_fmg(prob)
+    nb = float(jnp.linalg.norm(b))
+    rel_full = float(jnp.linalg.norm(b - op(M.fmg_stepwise(b)))) / nb
+    x = M.fmg_stepwise(b, polish_max_extent=64, smooth_sweeps=4)
+    rel_smooth = float(jnp.linalg.norm(b - op(x))) / nb
+    assert rel_smooth < 5e-4, rel_smooth  # still a >3-decade warm start
+    assert rel_smooth < 10 * rel_full, (rel_smooth, rel_full)
+    # without smoothing the skipped levels cost ~a decade — document why
+    x0 = M.fmg_stepwise(b, polish_max_extent=64, smooth_sweeps=0)
+    rel_none = float(jnp.linalg.norm(b - op(x0))) / nb
+    assert rel_none > 2 * rel_smooth, (rel_none, rel_smooth)
