@@ -378,18 +378,37 @@ def _bench_solve_3d(n: int) -> None:
     rel = res.residual_norm / res.initial_residual_norm
     assert res.converged and rel < 1e-6
 
-    # plain CG gets the best plain engine: the Pallas 7-point kernel
-    from iterative_solvers_tpu.kernels.stencil3d_pallas import Pallas3DStencilOperator
-
-    pop = Pallas3DStencilOperator.from_domain(dom)
-    b32 = pop.pad(prob.rhs_field(jnp.float32))
-    cg_solve(pop, b32, options=CGOptions(stop=stop))  # compile
-    t0 = time.perf_counter()
-    plain = cg_solve(pop, pop.pad(prob.rhs_field(jnp.float32)), options=CGOptions(stop=stop))
-    t_plain = time.perf_counter() - t0
+    # plain CG gets the best plain engine: the Pallas 7-point kernel. A full
+    # criterion run costs ~319 s live — at 512³ the default measures the
+    # per-iteration slope and multiplies by the criterion-hit count of the
+    # f32 recurrence, which is an algorithmic property of the recurrence:
+    # a committed BENCH_PLAIN_FULL=1 run on 2026-08-18 (round 3,
+    # NOTES_PERF.md) hit the criterion at exactly 1320 iterations in
+    # 319.1 s live. BENCH_PLAIN_FULL=1 reruns it live any time.
+    b32 = pop3.pad(prob.rhs_field(jnp.float32))
+    if n == 512 and not os.environ.get("BENCH_PLAIN_FULL"):
+        plain_iters = 1320
+        run_iters = {}
+        for k in (10, 110):
+            kstop = StopConfig(max_iterations=k).disable_all_but_iterations()
+            cg_solve(pop3, b32, options=CGOptions(stop=kstop))  # compile
+            t0 = time.perf_counter()
+            cg_solve(pop3, b32, options=CGOptions(stop=kstop))
+            run_iters[k] = time.perf_counter() - t0
+        per_s = (run_iters[110] - run_iters[10]) / 100
+        t_plain = per_s * plain_iters
+        plain_note = (
+            f"measured {per_s*1e3:.1f} ms/iter x recorded {plain_iters} iters"
+        )
+    else:
+        cg_solve(pop3, b32, options=CGOptions(stop=stop))  # compile
+        t0 = time.perf_counter()
+        plain = cg_solve(pop3, b32, options=CGOptions(stop=stop))
+        t_plain = time.perf_counter() - t0
+        plain_note = f"measured live (full run, {plain.iterations} iters)"
     print(
         f"bench 3d: n={n}^3 mg_ir={t_mg:.2f}s rel={rel:.2e} "
-        f"plain_cg={t_plain:.2f}s ({plain.iterations} iters)",
+        f"plain_cg={t_plain:.2f}s [{plain_note}]",
         file=sys.stderr,
     )
     print(
