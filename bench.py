@@ -378,13 +378,15 @@ def _bench_solve_3d(n: int) -> None:
     rel = res.residual_norm / res.initial_residual_norm
     assert res.converged and rel < 1e-6
 
-    # plain CG gets the best plain engine: the Pallas 7-point kernel. A full
-    # criterion run costs ~319 s live — at 512³ the default measures the
-    # per-iteration slope and multiplies by the criterion-hit count of the
-    # f32 recurrence, which is an algorithmic property of the recurrence:
-    # a committed BENCH_PLAIN_FULL=1 run on 2026-08-18 (round 3,
-    # NOTES_PERF.md) hit the criterion at exactly 1320 iterations in
-    # 319.1 s live. BENCH_PLAIN_FULL=1 reruns it live any time.
+    # plain CG gets the best plain engine: the Pallas 7-point kernel. The
+    # default measures the per-iteration slope and multiplies by the
+    # criterion-hit count of the f32 recurrence (1320 iterations, recorded
+    # by the round-3 full run). NOTE the round-3 wall receipt of that run
+    # (319.1 s) was CONTAMINATED: it re-evaluated prob.rhs_field inside the
+    # timed region — a ~300 s single-core host sweep at 512³, not CG. The
+    # honest plain wall is slope x 1320 ≈ 18.4 s (13.9 ms/iter measured
+    # 2026-08-19), and vs_baseline ≈ 40x, not the 724x round 3 recorded.
+    # BENCH_PLAIN_FULL=1 reruns the full criterion run live any time.
     b32 = pop3.pad(prob.rhs_field(jnp.float32))
     if n == 512 and not os.environ.get("BENCH_PLAIN_FULL"):
         plain_iters = 1320

@@ -3,8 +3,8 @@
 The reference project is 2D-only; this framework extends every layer to 3D
 boxes (``Domain3D``, 7-point Pallas kernels, a 3D fused V-cycle, sharded
 3D operators) — the 512³ configuration from BASELINE.md solves to a true
-relative residual of 1e-6 in ~0.44 s on one TPU v5e chip (725x plain CG,
-see NOTES_PERF.md). This example defaults to 24³ so it also runs in seconds
+relative residual of 1e-6 in ~0.46 s on one TPU v5e chip (~40x plain CG at
+13.9 ms/iteration, see NOTES_PERF.md). This example defaults to 24³ so it also runs in seconds
 on CPU; pass a size to scale up.
 
 Run:  python examples/07_3d.py [n]
