@@ -312,7 +312,7 @@ def test_divergence_detection():
 
     dom = Domain2D(nx=8, ny=8)
     zero_op = StencilOperator(
-        interior=jnp.asarray(dom.interior), coeffs=(0.0, 0.0, 0.0)
+        interior_arr=jnp.asarray(dom.interior), coeffs=(0.0, 0.0, 0.0)
     )
     b = PoissonProblem.manufactured(dom).rhs_field()
     res = cg_solve(
