@@ -583,6 +583,14 @@ class ShardedFusedMultigrid:
         x = self.inner.fmg(r[:h, :w], n_vcycles)
         return jnp.pad(x, ((0, r.shape[0] - h), (0, r.shape[1] - w)))
 
+    def fmg_stepwise(self, r: jnp.ndarray, n_vcycles: int = 1, **kw) -> jnp.ndarray:
+        """Per-level-program FMG on the mesh-padded layout (see
+        multigrid.fmg_stepwise — one GSPMD program per level instead of the
+        O(levels²) monolith; the refine ladders route here)."""
+        h, w = self.grid_shape
+        x = self.inner.fmg_stepwise(r[:h, :w], n_vcycles, **kw)
+        return jnp.pad(x, ((0, r.shape[0] - h), (0, r.shape[1] - w)))
+
     def call_with_dot(self, r: jnp.ndarray):
         """``(M r, (r, M r))`` with the dot fused into the finest K_up's
         epilogue — the sharded counterpart of the single-chip

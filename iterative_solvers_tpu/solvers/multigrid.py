@@ -826,6 +826,15 @@ class ShardedMultigridPreconditioner:
         pads = [(0, p - g) for p, g in zip(r.shape, self.grid_shape)]
         return jnp.pad(x, pads)
 
+    def fmg_stepwise(self, r: jnp.ndarray, n_vcycles: int = 1, **kw) -> jnp.ndarray:
+        """Per-level-program FMG on the mesh-padded layout — the rung
+        programs run GSPMD on the global sharded arrays (iota masks and
+        traced payload recipes shard like any other op)."""
+        sl = tuple(slice(0, s) for s in self.grid_shape)
+        x = self.inner.fmg_stepwise(r[sl], n_vcycles, **kw)
+        pads = [(0, p - g) for p, g in zip(r.shape, self.grid_shape)]
+        return jnp.pad(x, pads)
+
 
 @dataclass(frozen=True, eq=False)
 class PaddedPreconditioner:

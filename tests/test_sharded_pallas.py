@@ -525,3 +525,32 @@ def test_sharded_fused_vcycle_call_with_dot(mesh_shape, shape):
     w, rz = M.call_with_dot(rs)
     np.testing.assert_array_equal(np.asarray(w), np.asarray(w_ref))
     np.testing.assert_allclose(float(rz), dot_ref, rtol=1e-5)
+
+
+def test_sharded_fmg_stepwise_matches_monolithic():
+    """Mesh FMG via per-level GSPMD programs (fmg_stepwise, what the mesh
+    engine-IR ladder dispatches) equals the monolithic mesh fmg() to f32
+    round-off — iota masks and lazy payload recipes shard like any op."""
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+    from iterative_solvers_tpu.parallel.mg_sharded import ShardedFusedMultigrid
+
+    dom = Domain2D(nx=64, ny=64)
+    prob = PoissonProblem.manufactured(dom)
+    mesh = make_solver_mesh(8, (4, 2))
+    op = ShardedPallasStencilOperator.from_domain(dom, mesh, block_rows=16)
+    M = ShardedFusedMultigrid.from_operator(op, dom, fuse_min_extent=33).with_fmg(prob)
+    b = op.shard(np.asarray(prob.rhs_field(jnp.float32)))
+    x_mono = np.asarray(op.crop(M.fmg(b)))
+    x_step = np.asarray(op.crop(M.fmg_stepwise(b)))
+    scale = np.abs(x_mono).max()
+    np.testing.assert_allclose(x_step / scale, x_mono / scale, atol=1e-5)
+    # the smoothing-polish variant still lands a deep warm start
+    from iterative_solvers_tpu.ops.stencil import StencilOperator
+
+    x_sm = np.asarray(
+        op.crop(M.fmg_stepwise(b, polish_max_extent=32, smooth_sweeps=4))
+    )
+    A = StencilOperator.from_domain(dom)
+    bb = np.asarray(prob.rhs_field(jnp.float32))
+    rel = np.linalg.norm(bb - np.asarray(A(jnp.asarray(x_sm)))) / np.linalg.norm(bb)
+    assert rel < 5e-3, rel
