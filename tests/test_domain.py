@@ -101,3 +101,51 @@ def test_domain3d_basics():
     assert dom.num_unknowns == 27
     assert dom.interior.sum() == 27
     assert dom.coeff_diag == pytest.approx(-2 * 3 * 16.0)
+
+
+def test_mask_spec_matches_host_masks():
+    """MaskSpec (in-trace iota masks — see core/domain.py) must reproduce the
+    host 8-neighborhood construction exactly, including non-square grids and
+    padded canvases (the Pallas operators' layouts)."""
+    import dataclasses as dc
+
+    from iterative_solvers_tpu.core.domain import Domain3D
+
+    doms = [
+        Domain2D(nx=6, ny=6),
+        Domain2D(nx=8, ny=12),
+        Domain2D(nx=16, ny=8),
+        Domain2D(nx=30, ny=30),
+        Domain2D(nx=7, ny=9, shape="rect"),
+        Domain2D(nx=30, ny=48, shape="rect"),
+    ]
+    for dom in doms:
+        spec = dom.mask_spec
+        assert (np.asarray(dom.interior_traced()) == dom.interior).all(), dom
+        assert (np.asarray(dom.boundary_traced()) == dom.boundary).all(), dom
+        pspec = dc.replace(spec, shape=(spec.shape[0] + 5, spec.shape[1] + 7))
+        ref = np.zeros(pspec.shape, bool)
+        ref[: spec.shape[0], : spec.shape[1]] = dom.interior
+        assert (np.asarray(pspec.build()) == ref).all(), dom
+        assert (pspec.build_host() == ref).all(), dom
+    for d3 in (Domain3D(4, 5, 6), Domain3D(8, 8, 8)):
+        assert (np.asarray(d3.interior_traced()) == d3.interior).all()
+        assert (np.asarray(d3.boundary_traced()) == d3.boundary).all()
+        spec = d3.mask_spec
+        pspec = dc.replace(
+            spec, shape=(spec.shape[0], spec.shape[1] + 3, spec.shape[2] + 1)
+        )
+        ref = np.zeros(pspec.shape, bool)
+        ref[: spec.shape[0], : spec.shape[1], : spec.shape[2]] = d3.interior
+        assert (np.asarray(pspec.build()) == ref).all()
+        assert (pspec.build_host() == ref).all()
+
+
+def test_custom_shape_has_no_mask_spec():
+    dom = Domain2D(
+        nx=16, ny=16, shape="custom",
+        inside_fn=lambda ix, iy: (ix + iy) % 2 == 0,
+    )
+    assert dom.mask_spec is None
+    assert (np.asarray(dom.interior_traced()) == dom.interior).all()
+    assert (np.asarray(dom.boundary_traced()) == dom.boundary).all()
