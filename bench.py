@@ -686,11 +686,16 @@ def _guarded_solve() -> int:
             os.killpg(proc.pid, signal.SIGKILL)  # exact pgid we started
         except ProcessLookupError:
             pass
-        proc.wait()
-        out = ""
+        # collect whatever the child had already printed — over the tunnel a
+        # solve can finish and then hang in backend teardown, in which case
+        # the measured line is sitting in the pipe
+        try:
+            out, _ = proc.communicate(timeout=15)
+        except Exception:
+            out = ""
         print(
-            f"bench: solve mode exceeded its {budget:.0f}s budget — "
-            "falling back to BENCH_MODE=cg",
+            f"bench: solve mode exceeded its {budget:.0f}s budget "
+            "(falling back to BENCH_MODE=cg unless a line was captured)",
             file=sys.stderr,
         )
     line = next(
