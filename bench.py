@@ -837,6 +837,31 @@ def _bench_sharded_fast_path(n: int) -> None:
     )
 
 
+def _enable_compile_cache() -> None:
+    """Opt-in persistent compilation cache (ISTPU_COMPILE_CACHE=1).
+
+    The official bench runs in a fresh process, so every program recompiles
+    through the tunnel's remote compile server — whose latency varies from
+    seconds to >15 min per program on bad days (measured 2026-08-19, same
+    program: 3.8 s → 907 s across one morning). A warm on-disk cache makes
+    the wall immune to that variance. Off by default until the axon
+    plugin's executable-deserialize path is verified fast; flip the default
+    once tools/test_compile_cache.py shows a hit beats a recompile."""
+    if os.environ.get("ISTPU_COMPILE_CACHE", "0") in ("0", "off", ""):
+        return
+    import jax
+
+    cache_dir = os.environ.get("ISTPU_COMPILE_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        print(f"bench: compile cache at {cache_dir}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization only
+        print(f"bench: compile cache unavailable: {e}", file=sys.stderr)
+
+
 def _run_mode() -> None:
     import jax
 
@@ -844,6 +869,7 @@ def _run_mode() -> None:
         # the axon sitecustomize pre-sets jax_platforms at interpreter start,
         # so the env var alone would be silently ignored
         jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
     _device_probe()
     import jax.numpy as jnp
 
