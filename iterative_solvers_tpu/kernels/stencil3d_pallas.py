@@ -125,6 +125,116 @@ def pallas_stencil_apply_3d(
     )(x, x, x, x, x)
 
 
+def _make_kernel_3d_chunked(nx: int, ny: int, nz: int, cd: float, cx: float,
+                            cy: float, cz: float, bz: int, by: int, wp: int):
+    """z-chunked kernel body: each program owns ``bz`` consecutive z-planes
+    and reads each interior plane ONCE (the per-plane kernel reads every
+    plane three times as its own z-up/z-dn neighbor). HBM traffic drops from
+    ~3 reads + 1 write to ~(1 + 2/bz) reads + 1 write per node."""
+
+    def mask_at(zi, row0, shape):
+        ri = lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+        ci = lax.broadcasted_iota(jnp.int32, shape, 1)
+        ok_z = (zi > 0) & (zi < nz)
+        return ok_z & (ri > 0) & (ri < ny) & (ci > 0) & (ci < nx)
+
+    def kernel(xc_ref, zup_ref, zdn_ref, yup_ref, ydn_ref, o_ref):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * bz
+        row0 = j * by
+
+        def masked_plane(i):
+            # plane z0+i of the chunk, with the chunk-edge z halos
+            if i < 0:
+                raw = zup_ref[0]
+            elif i >= bz:
+                raw = zdn_ref[0]
+            else:
+                raw = xc_ref[i]
+            return jnp.where(mask_at(z0 + i, row0, (by, wp)), raw, 0.0)
+
+        planes = [masked_plane(i) for i in range(-1, bz + 1)]
+        for i in range(bz):
+            x = planes[i + 1]
+            zup, zdn = planes[i], planes[i + 2]
+            yup_row = jnp.where(
+                mask_at(z0 + i, row0 - 1, (1, wp)), yup_ref[i, -1:, :], 0.0
+            )
+            ydn_row = jnp.where(
+                mask_at(z0 + i, row0 + by, (1, wp)), ydn_ref[i, :1, :], 0.0
+            )
+            yup = jnp.concatenate([yup_row, x[:-1, :]], axis=0)
+            ydn = jnp.concatenate([x[1:, :], ydn_row], axis=0)
+            lf = pltpu.roll(x, np.int32(1), 1)
+            rt = pltpu.roll(x, np.int32(wp - 1), 1)
+            y = cd * x + cx * (lf + rt) + cy * (yup + ydn) + cz * (zup + zdn)
+            o_ref[i] = jnp.where(mask_at(z0 + i, row0, (by, wp)), y, 0.0)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cd", "cx", "cy", "cz", "block_z", "block_rows",
+        "interpret",
+    ),
+)
+def pallas_stencil_apply_3d_chunked(
+    x: jnp.ndarray,
+    *,
+    nx: int,
+    ny: int,
+    nz: int,
+    cd: float,
+    cx: float,
+    cy: float,
+    cz: float,
+    block_z: int,
+    block_rows: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = A @ x on a padded volume (D, Hp, Wp) with D % block_z == 0,
+    Hp % block_rows == 0, Wp % 128 == 0. Same result as
+    :func:`pallas_stencil_apply_3d`, ~1.8x less HBM traffic."""
+    d, hp, wp = x.shape
+    bz, by = block_z, block_rows
+    assert d % bz == 0 and hp % by == 0 and wp % 128 == 0, (d, hp, wp, bz, by)
+    grid = (d // bz, hp // by)
+    kernel = _make_kernel_3d_chunked(nx, ny, nz, cd, cx, cy, cz, bz, by, wp)
+    gy = hp // 8
+    nbz = d // bz
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bz, by, wp), lambda k, j: (k, j, 0)),
+            # one plane below / above the chunk (plane-unit block indices)
+            pl.BlockSpec(
+                (1, by, wp), lambda k, j: (jnp.maximum(k * bz - 1, 0), j, 0)
+            ),
+            pl.BlockSpec(
+                (1, by, wp),
+                lambda k, j: (jnp.minimum(k * bz + bz, d - 1), j, 0),
+            ),
+            # 8-row y-halo groups above / below the panel, for ALL bz planes
+            pl.BlockSpec(
+                (bz, 8, wp),
+                lambda k, j: (k, jnp.maximum(j * (by // 8) - 1, 0), 0),
+            ),
+            pl.BlockSpec(
+                (bz, 8, wp),
+                lambda k, j: (k, jnp.minimum(j * (by // 8) + by // 8, gy - 1), 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((bz, by, wp), lambda k, j: (k, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((d, hp, wp), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(x, x, x, x, x)
+
+
 def _auto_block_rows_3d(h: int) -> int:
     """Panel height: a multiple of 8 dividing round_up(h, 8) with small
     padding waste, capped so VMEM stays comfortable."""
@@ -134,6 +244,17 @@ def _auto_block_rows_3d(h: int) -> int:
     for by in range(8, 129, 8):
         if hp % by == 0:
             best = by
+    return best
+
+
+def _auto_block_z(d: int) -> int:
+    """z-chunk depth: the largest divisor of D in [2, 16] (read-amplification
+    1 + 2/bz, so bz >= 8 is within 25% of the single-read floor). 1 when D
+    has no such divisor (prime-ish D falls back to the per-plane kernel)."""
+    best = 1
+    for bz in range(2, 17):
+        if d % bz == 0:
+            best = bz
     return best
 
 
@@ -150,16 +271,19 @@ class Pallas3DStencilOperator:
     padded_shape: Tuple[int, int, int]
     block_rows: int
     interpret: bool
+    block_z: int = 1  # >1: z-chunked kernel (each plane read once per apply)
 
     @staticmethod
     def from_domain(domain, dtype=None, block_rows: Optional[int] = None,
-                    interpret: Optional[bool] = None) -> "Pallas3DStencilOperator":
+                    interpret: Optional[bool] = None,
+                    block_z: Optional[int] = None) -> "Pallas3DStencilOperator":
         d, h, w = domain.grid_shape
         wp = _round_up(w, 128)
         by = block_rows or _auto_block_rows_3d(h)
         hp = _round_up(h, by)
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
+        bz = block_z if block_z is not None else _auto_block_z(d)
         return Pallas3DStencilOperator(
             nx=domain.nx,
             ny=domain.ny,
@@ -169,6 +293,7 @@ class Pallas3DStencilOperator:
             padded_shape=(d, hp, wp),
             block_rows=by,
             interpret=interpret,
+            block_z=bz,
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -182,6 +307,20 @@ class Pallas3DStencilOperator:
 
     def _apply(self, x: jnp.ndarray) -> jnp.ndarray:
         cd, cx, cy, cz = self.coeffs
+        if self.block_z > 1 and x.shape[0] % self.block_z == 0:
+            return pallas_stencil_apply_3d_chunked(
+                x,
+                nx=self.nx,
+                ny=self.ny,
+                nz=self.nz,
+                cd=cd,
+                cx=cx,
+                cy=cy,
+                cz=cz,
+                block_z=self.block_z,
+                block_rows=self.block_rows,
+                interpret=self.interpret,
+            )
         return pallas_stencil_apply_3d(
             x,
             nx=self.nx,

@@ -25,6 +25,46 @@ def test_matches_jnp_operator(dims):
     np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.parametrize("dims,bz", [((17, 10, 12), 9), ((31, 8, 8), 16), ((11, 9, 13), 4)])
+def test_chunked_matches_per_plane(dims, bz):
+    """The z-chunked kernel (each plane read once) must agree exactly with
+    the per-plane kernel — same arithmetic, different blocking."""
+    nz, ny, nx = dims
+    dom = Domain3D(nx=nx, ny=ny, nz=nz)
+    op1 = Pallas3DStencilOperator.from_domain(dom, block_z=1)
+    opc = Pallas3DStencilOperator.from_domain(dom, block_z=bz)
+    assert opc.block_z == bz and (nz + 1) % bz == 0
+    rng = np.random.default_rng(9)
+    xp = op1.pad(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32))
+    a, b = np.asarray(op1(xp)), np.asarray(opc(xp))
+    # identical arithmetic, but XLA may contract multiplies into FMAs
+    # differently across the two programs — allow rounding-level spread
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5 * np.abs(a).max())
+
+
+def test_auto_block_z():
+    from iterative_solvers_tpu.kernels.stencil3d_pallas import _auto_block_z
+
+    assert _auto_block_z(513) == 9  # 512^3 bench volume
+    assert _auto_block_z(32) == 16
+    assert _auto_block_z(13) == 13  # small prime: one whole-depth chunk
+    assert _auto_block_z(257) == 1  # big prime: per-plane fallback
+
+
+def test_chunked_ragged_depth_falls_back():
+    """A block_z that does not divide the field depth must still produce
+    correct results (the apply falls back to the per-plane kernel)."""
+    dom = Domain3D(nx=8, ny=8, nz=12)  # D=13
+    op = Pallas3DStencilOperator.from_domain(dom, block_z=4)  # 13 % 4 != 0
+    op_ref = StencilOperator.from_domain(dom)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.crop(op(op.pad(x)))), np.asarray(op_ref(x)),
+        rtol=2e-5, atol=2e-4,
+    )
+
+
 def test_padding_inert():
     dom = Domain3D(nx=8, ny=8, nz=8)
     op = Pallas3DStencilOperator.from_domain(dom)
