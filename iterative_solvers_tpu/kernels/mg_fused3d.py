@@ -212,6 +212,129 @@ def _make_k_up_3d(nx, ny, nz, cd, cx, cy, cz, cs, by, wp, dc):
     return kernel
 
 
+def _make_k_down_chunked_3d(nx, ny, nz, cd, cx, cy, cz, cs, bz, by, wp):
+    """Fused residual + z-restriction over a chunk of ``bz`` fine planes
+    (``bz`` even): each program emits ``bz/2`` coarse planes and reads each
+    fine b-plane once (vs 3 reads/plane + a separate 1.5-read restrict pass
+    in the per-plane pipeline). Static in-chunk offsets also make the
+    restriction stencil's plane indices compile-time constants."""
+    bzc = bz // 2
+
+    def kernel(bc_ref, bzu_ref, bzd_ref, hup_ref, hupz_ref, hdn_ref, hdnz_ref,
+               rr_ref):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * bz
+        row0 = j * by
+
+        def braw(off):  # raw b at fine plane z0+off, off in [-2, bz]
+            if off == -2:
+                return bzu_ref[0]
+            if off == -1:
+                return bzu_ref[1]
+            if off == bz:
+                return bzd_ref[0]
+            return bc_ref[off]
+
+        bms = {
+            off: jnp.where(_mask_at(nx, ny, nz, z0 + off, row0, (by, wp)),
+                           braw(off), 0.0)
+            for off in range(-2, bz + 1)
+        }
+        xs = {off: cs * bm for off, bm in bms.items()}
+
+        def resid(s):  # masked residual at fine plane z0+s, s in [-1, bz-1]
+            m = _mask_at(nx, ny, nz, z0 + s, row0, (by, wp))
+            hu = hupz_ref[0, -1:, :] if s == -1 else hup_ref[s, -1:, :]
+            hd = hdnz_ref[0, :1, :] if s == -1 else hdn_ref[s, :1, :]
+            xup = cs * jnp.where(
+                _mask_at(nx, ny, nz, z0 + s, row0 - 1, (1, wp)), hu, 0.0
+            )
+            xdn = cs * jnp.where(
+                _mask_at(nx, ny, nz, z0 + s, row0 + by, (1, wp)), hd, 0.0
+            )
+            return _residual_plane(
+                xs[s], xup, xdn, xs[s - 1], xs[s + 1], bms[s], m,
+                cd, cx, cy, cz, wp,
+            )
+
+        rs = {s: resid(s) for s in range(-1, bz)}
+        for c in range(bzc):
+            rr_ref[c] = 0.25 * rs[2 * c - 1] + 0.5 * rs[2 * c] + 0.25 * rs[2 * c + 1]
+
+    return kernel
+
+
+def _make_k_up_chunked_3d(nx, ny, nz, cd, cx, cy, cz, cs, bz, by, wp, dc):
+    """Chunked K_up: ``bz`` fine planes per program (``bz`` even). The
+    z-prolongation plane parity is static inside the chunk, so the coarse
+    operand selection is compile-time (the per-plane kernel pays a traced
+    3-way where per element); b is read ~(1+2/bz)x instead of 3x."""
+    bzc = bz // 2
+
+    def kernel(bc_ref, bzu_ref, bzd_ref, bhu_ref, bhd_ref,
+               ec_ref, eczu_ref, eczd_ref, echu_ref, echd_ref,
+               echuz_ref, echdz_ref, o_ref):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * bz
+        c0 = k * bzc
+        row0 = j * by
+
+        def braw(off):  # off in [-1, bz]
+            if off == -1:
+                return bzu_ref[0]
+            if off == bz:
+                return bzd_ref[0]
+            return bc_ref[off]
+
+        def cvalid(zc_off, rows, r0):
+            zc = c0 + zc_off
+            ri = lax.broadcasted_iota(jnp.int32, (rows, wp), 0) + r0
+            return (zc >= 0) & (zc < dc) & (ri >= 0)
+
+        def ec_get(c, part):  # coarse offset c in [-1, bzc]
+            if part == "main":
+                if c == -1:
+                    raw = eczu_ref[0]
+                elif c == bzc:
+                    raw = eczd_ref[0]
+                else:
+                    raw = ec_ref[c]
+                return jnp.where(cvalid(c, by, row0), raw, 0.0)
+            if part == "up":
+                raw = (echuz_ref[0, -1:, :] if c == bzc
+                       else echu_ref[c, -1:, :])
+                return jnp.where(cvalid(c, 1, row0 - 1), raw, 0.0)
+            raw = echdz_ref[0, :1, :] if c == bzc else echd_ref[c, :1, :]
+            return jnp.where(cvalid(c, 1, row0 + by), raw, 0.0)
+
+        def pz(s, part):  # z-prolonged correction at fine offset s
+            if s % 2 == 0:
+                return ec_get(s // 2, part)
+            return 0.5 * (ec_get((s - 1) // 2, part) + ec_get((s + 1) // 2, part))
+
+        xms, bms, ms = {}, {}, {}
+        for s in range(-1, bz + 1):
+            m = _mask_at(nx, ny, nz, z0 + s, row0, (by, wp))
+            bm = jnp.where(m, braw(s), 0.0)
+            xms[s] = jnp.where(m, cs * bm + pz(s, "main"), 0.0)
+            bms[s], ms[s] = bm, m
+
+        for s in range(bz):
+            mu = _mask_at(nx, ny, nz, z0 + s, row0 - 1, (1, wp))
+            md = _mask_at(nx, ny, nz, z0 + s, row0 + by, (1, wp))
+            xup = jnp.where(mu, cs * bhu_ref[s, -1:, :] + pz(s, "up"), 0.0)
+            xdn = jnp.where(md, cs * bhd_ref[s, :1, :] + pz(s, "dn"), 0.0)
+            R = _residual_plane(
+                xms[s], xup, xdn, xms[s - 1], xms[s + 1], bms[s], ms[s],
+                cd, cx, cy, cz, wp,
+            )
+            o_ref[s] = jnp.where(ms[s], xms[s] + cs * R, 0.0)
+
+    return kernel
+
+
 @dataclass(frozen=True, eq=False)
 class FusedLevelKernels3D:
     """Compiled down/up legs of one 3D V-cycle level on its padded layout."""
@@ -224,11 +347,73 @@ class FusedLevelKernels3D:
     padded_shape: Tuple[int, int, int]  # (D, Hp, Wp); D = nz+1 exact
     block_rows: int
     interpret: bool
+    block_z: int = 1  # even and >1: z-chunked legs (each plane read once)
 
     def down(self, b: jnp.ndarray) -> jnp.ndarray:
         """z-restricted residual (Dc, Hp, Wp) of the pre-smoothed iterate."""
         with jax.enable_x64(False):
+            if self.block_z > 1:
+                return self._down_chunked(b)
             return self._down(b)
+
+    def _down_chunked(self, b: jnp.ndarray) -> jnp.ndarray:
+        d, hp, wp = self.padded_shape
+        bz, by = self.block_z, self.block_rows
+        bzc = bz // 2
+        cd, cx, cy, cz = self.coeffs
+        dc = self.nz // 2 + 1
+        kernel = _make_k_down_chunked_3d(
+            self.nx, self.ny, self.nz, cd, cx, cy, cz, self.cs, bz, by, wp
+        )
+        gy8 = hp // 8
+        gsz = by // 8
+        nk = -(-dc // bzc)  # ragged: the tail block's stores are masked
+        return pl.pallas_call(
+            kernel,
+            grid=(nk, hp // by),
+            in_specs=[
+                pl.BlockSpec((bz, by, wp), lambda k, j: (k, j, 0)),
+                # planes z0-2, z0-1 as one 2-plane block (index in 2-plane units)
+                pl.BlockSpec(
+                    (2, by, wp),
+                    lambda k, j: (jnp.maximum(k * bzc - 1, 0), j, 0),
+                ),
+                # plane z0+bz
+                pl.BlockSpec(
+                    (1, by, wp),
+                    lambda k, j: (jnp.minimum(k * bz + bz, d - 1), j, 0),
+                ),
+                # y-halo groups for the chunk planes and for plane z0-1
+                pl.BlockSpec(
+                    (bz, 8, wp),
+                    lambda k, j: (k, jnp.maximum(j * gsz - 1, 0), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, wp),
+                    lambda k, j: (
+                        jnp.maximum(k * bz - 1, 0),
+                        jnp.maximum(j * gsz - 1, 0),
+                        0,
+                    ),
+                ),
+                pl.BlockSpec(
+                    (bz, 8, wp),
+                    lambda k, j: (k, jnp.minimum(j * gsz + gsz, gy8 - 1), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, wp),
+                    lambda k, j: (
+                        jnp.maximum(k * bz - 1, 0),
+                        jnp.minimum(j * gsz + gsz, gy8 - 1),
+                        0,
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec((bzc, by, wp), lambda k, j: (k, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((dc, hp, wp), b.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(b, b, b, b, b, b, b)
 
     def _down(self, b: jnp.ndarray) -> jnp.ndarray:
         d, hp, wp = self.padded_shape
@@ -285,7 +470,79 @@ class FusedLevelKernels3D:
         """Post-smoothed corrected iterate; ``ec_yx`` is the y/x-prolonged
         coarse correction, shape (Dc, Hp, Wp) on this level's panel layout."""
         with jax.enable_x64(False):
+            if self.block_z > 1:
+                return self._up_chunked(b, ec_yx)
             return self._up(b, ec_yx)
+
+    def _up_chunked(self, b: jnp.ndarray, ec_yx: jnp.ndarray) -> jnp.ndarray:
+        d, hp, wp = self.padded_shape
+        bz, by = self.block_z, self.block_rows
+        bzc = bz // 2
+        cd, cx, cy, cz = self.coeffs
+        dc = self.nz // 2 + 1
+        kernel = _make_k_up_chunked_3d(
+            self.nx, self.ny, self.nz, cd, cx, cy, cz, self.cs, bz, by, wp, dc
+        )
+        gy8 = hp // 8
+        gsz = by // 8
+        nk = -(-d // bz)  # ragged tail handled by masked stores
+        in_specs = [
+            pl.BlockSpec((bz, by, wp), lambda k, j: (k, j, 0)),
+            pl.BlockSpec(
+                (1, by, wp), lambda k, j: (jnp.maximum(k * bz - 1, 0), j, 0)
+            ),
+            pl.BlockSpec(
+                (1, by, wp),
+                lambda k, j: (jnp.minimum(k * bz + bz, d - 1), j, 0),
+            ),
+            pl.BlockSpec(
+                (bz, 8, wp), lambda k, j: (k, jnp.maximum(j * gsz - 1, 0), 0)
+            ),
+            pl.BlockSpec(
+                (bz, 8, wp),
+                lambda k, j: (k, jnp.minimum(j * gsz + gsz, gy8 - 1), 0),
+            ),
+            pl.BlockSpec((bzc, by, wp), lambda k, j: (k, j, 0)),
+            pl.BlockSpec(
+                (1, by, wp), lambda k, j: (jnp.maximum(k * bzc - 1, 0), j, 0)
+            ),
+            pl.BlockSpec(
+                (1, by, wp),
+                lambda k, j: (jnp.minimum(k * bzc + bzc, dc - 1), j, 0),
+            ),
+            pl.BlockSpec(
+                (bzc, 8, wp), lambda k, j: (k, jnp.maximum(j * gsz - 1, 0), 0)
+            ),
+            pl.BlockSpec(
+                (bzc, 8, wp),
+                lambda k, j: (k, jnp.minimum(j * gsz + gsz, gy8 - 1), 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, wp),
+                lambda k, j: (
+                    jnp.minimum(k * bzc + bzc, dc - 1),
+                    jnp.maximum(j * gsz - 1, 0),
+                    0,
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 8, wp),
+                lambda k, j: (
+                    jnp.minimum(k * bzc + bzc, dc - 1),
+                    jnp.minimum(j * gsz + gsz, gy8 - 1),
+                    0,
+                ),
+            ),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(nk, hp // by),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bz, by, wp), lambda k, j: (k, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((d, hp, wp), b.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(b, b, b, b, b, ec_yx, ec_yx, ec_yx, ec_yx, ec_yx, ec_yx, ec_yx)
 
     def _up(self, b: jnp.ndarray, ec_yx: jnp.ndarray) -> jnp.ndarray:
         d, hp, wp = self.padded_shape

@@ -345,6 +345,7 @@ class MultigridPreconditioner:
         fuse: Optional[bool] = None,
         fuse_min_extent: int = 512,
         interpret: Optional[bool] = None,
+        fuse_block_z: Optional[int] = None,  # even >1: z-chunked 3D legs
     ) -> "MultigridPreconditioner":
         if nu_pre != nu_post:
             raise ValueError(
@@ -451,6 +452,11 @@ class MultigridPreconditioner:
             for cand in range(8, min(hp, 129) + 1, 8):
                 if hp % cand == 0 and 24 * cand * wp * 4 <= 24 * 2**20:
                     by = cand
+            bzk = 1
+            if fuse_block_z is not None and fuse_block_z > 1:
+                if fuse_block_z % 2:
+                    raise ValueError("fuse_block_z must be even (z-restrict pairs)")
+                bzk = fuse_block_z
             k = FusedLevelKernels3D(
                 nx=d.nx,
                 ny=d.ny,
@@ -460,6 +466,7 @@ class MultigridPreconditioner:
                 padded_shape=(dz, hp, wp),
                 block_rows=by,
                 interpret=interpret,
+                block_z=bzk,
             )
             return _FusedLevel3D(
                 kernels=k,

@@ -526,3 +526,37 @@ def test_call_with_dot_matches_separate_dot():
     z2, rz2 = M.call_with_dot(r)
     np.testing.assert_allclose(np.asarray(z2), np.asarray(M(r)), rtol=1e-6)
     assert float(rz2) == pytest.approx(float(jnp.sum(r * M(r))), rel=1e-5)
+
+
+def test_fused3d_chunked_legs_match_per_plane():
+    """The z-chunked down/up legs (block_z>1, incl. ragged depth chunks)
+    must reproduce the per-plane legs to FMA-reassociation round-off."""
+    import dataclasses
+
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.solvers.multigrid import _FusedLevel3D
+
+    for dims, bz in [((16, 16, 16), 4), ((8, 24, 16), 6), ((8, 128, 16), 4)]:
+        nz, ny, nx = dims
+        dom = Domain3D(nx=nx, ny=ny, nz=nz)
+        M = MultigridPreconditioner.from_domain(
+            dom, fuse=True, fuse_min_extent=min(dims), interpret=True
+        )
+        lev0 = M.levels[0]
+        assert isinstance(lev0, _FusedLevel3D)
+        k1 = lev0.kernels
+        kc = dataclasses.replace(k1, block_z=bz)
+        dz, hp, wp = k1.padded_shape
+        assert dz % bz != 0 or bz == 4  # keep at least one ragged case
+        key = jax.random.PRNGKey(13)
+        b = jax.random.normal(key, (dz, hp, wp)).astype(jnp.float32)
+        d1, d2 = np.asarray(k1.down(b)), np.asarray(kc.down(b))
+        s = max(np.abs(d1).max(), 1e-30)
+        np.testing.assert_allclose(d2, d1, rtol=1e-5, atol=1e-5 * s)
+        dc = nz // 2 + 1
+        ec = jax.random.normal(jax.random.PRNGKey(14), (dc, hp, wp)).astype(
+            jnp.float32
+        )
+        u1, u2 = np.asarray(k1.up(b, ec)), np.asarray(kc.up(b, ec))
+        s = max(np.abs(u1).max(), 1e-30)
+        np.testing.assert_allclose(u2, u1, rtol=1e-5, atol=1e-5 * s)

@@ -98,6 +98,16 @@ def run_suite(x64: bool, results: dict) -> None:
     M3 = MultigridPreconditioner.from_domain(dom3)
     _check(f"mg_fused3d[{tag}]", lambda: jnp.sum(jax.jit(M3)(b3)), results)
 
+    # z-chunked variants: the chunked fused legs (block_z=4, ragged tail at
+    # D=129) and the per-plane apply fallback (the auto stencil3d above is
+    # already chunked at D=129 -> block_z=3)
+    M3c = MultigridPreconditioner.from_domain(dom3, fuse_block_z=4)
+    _check(f"mg_fused3d_chunked[{tag}]", lambda: jnp.sum(jax.jit(M3c)(b3)), results)
+    op3p = Pallas3DStencilOperator.from_domain(dom3, interpret=False, block_z=1)
+    _check(
+        f"stencil3d_perplane[{tag}]", lambda: jnp.sum(op3p(op3p.pad(b3))), results
+    )
+
     # custom-mask (int8 mask-operand) kernels: stencil, fused engine, V-cycle
     import numpy as np
 
