@@ -462,6 +462,175 @@ def _outer_refine_loop(
     return x, r, stats
 
 
+def _outer_refine_loop_ff(
+    A_hi, stop: StopConfig, max_outer: int, b, u_true, inner_solve, x0=None
+):
+    """:func:`_outer_refine_loop` with the high-precision state as double-f32
+    pairs (ops/ddf32.py) — NO f64 op anywhere in the program.
+
+    ``A_hi`` supplies geometry only (``.interior`` / ``.coeffs`` of the jnp
+    StencilOperator); the true residual is the compensated difference-form
+    evaluation ``residual_ff`` (accuracy ~1e7x the naive-f32 floor, pinned by
+    tests/test_ddf32.py). Norm reductions run in f32: their ~1e-7 relative
+    error moves a 1e-6-relative stopping decision by <0.1% of threshold.
+    ``inner_solve: (rh, rl) -> (d_f32, k_inner)``. Stats layout matches
+    :func:`_outer_refine_loop` (consumed by ``_finish_refined``)."""
+    from iterative_solvers_tpu.ops.ddf32 import (
+        pair_add_f32,
+        residual_ff,
+        split_f64,
+        two_sum,
+    )
+
+    f32 = jnp.float32
+    false = jnp.asarray(False)
+    interior, coeffs = A_hi.interior, A_hi.coeffs
+    if b.dtype == f32:
+        bh, bl = b, jnp.zeros_like(b)
+    else:
+        bh, bl = split_f64(b)
+    if u_true is not None:
+        if u_true.dtype == f32:
+            uh, ul = u_true, jnp.zeros_like(u_true)
+        else:
+            uh, ul = split_f64(u_true)
+    s0 = bh + bl
+    r0_norm = jnp.sqrt(jnp.sum(s0 * s0))
+
+    def residual(x_pair):
+        return residual_ff(interior, coeffs, (bh, bl), x_pair)
+
+    def err_of(x_pair):
+        if u_true is None:
+            return jnp.asarray(jnp.inf, f32)
+        # close values: (xh − uh) is nearly exact; the low parts ride plain
+        d, e = two_sum(x_pair[0], -uh)
+        return jnp.max(jnp.abs(d + ((x_pair[1] - ul) + e)))
+
+    def ocond(c):
+        x, r, k_out, total_inner, done, reason, prec, err, rm_prev, stalled, hist = c
+        return (
+            (~done)
+            & (~stalled)
+            & (k_out < max_outer)
+            & (total_inner < stop.max_iterations)
+        )
+
+    def obody(c):
+        x, r, k_out, total_inner, done, reason, prec, err, rm_prev, stalled, hist = c
+        d32, k_in = inner_solve(r)
+        x = pair_add_f32(x, d32)
+        r = residual(x)
+        s = r[0] + r[1]
+        r2 = jnp.sum(s * s)
+        r_max = jnp.max(jnp.abs(s))
+        prec = jnp.max(jnp.abs(d32))
+        if u_true is not None:
+            err = err_of(x)
+        total_inner = total_inner + k_in
+        hist = lax.dynamic_update_slice(
+            hist,
+            jnp.stack([total_inner.astype(f32), prec, r_max, err, jnp.sqrt(r2)])[
+                None, :
+            ],
+            (k_out + 1, jnp.asarray(0, k_out.dtype)),
+        )
+        stalled = r_max > 0.05 * rm_prev
+        done_div = ~jnp.isfinite(r2)
+        done_res = (r_max < stop.eps_residual) if stop.eps_residual > 0 else false
+        done_rel = (
+            (jnp.sqrt(r2) < stop.eps_relative * r0_norm)
+            if stop.eps_relative > 0
+            else false
+        )
+        done_prec = (prec < stop.eps_precision) if stop.eps_precision > 0 else false
+        done_err = (
+            (err < stop.eps_exact_error)
+            if (stop.eps_exact_error > 0 and u_true is not None)
+            else false
+        )
+        reason = jnp.where(
+            done_div,
+            int(StopReason.DIVERGED),
+            jnp.where(
+                done_res,
+                int(StopReason.RESIDUAL),
+                jnp.where(
+                    done_err,
+                    int(StopReason.EXACT_ERROR),
+                    jnp.where(
+                        done_prec,
+                        int(StopReason.PRECISION),
+                        jnp.where(
+                            done_rel,
+                            int(StopReason.RELATIVE_RESIDUAL),
+                            int(StopReason.ITERATIONS),
+                        ),
+                    ),
+                ),
+            ),
+        ).astype(jnp.int32)
+        done = done_div | done_res | done_rel | done_prec | done_err
+        return (
+            x, r, k_out + 1, total_inner, done, reason, prec, err,
+            r_max, stalled, hist,
+        )
+
+    big = jnp.asarray(jnp.inf, f32)
+    if x0 is None:
+        x_init = (jnp.zeros_like(bh), jnp.zeros_like(bh))
+        r_init = (bh, bl)
+    else:
+        x_init = (x0.astype(f32), jnp.zeros_like(bh))
+        r_init = residual(x_init)
+    s_init = r_init[0] + r_init[1]
+    err_init = err_of(x_init) if u_true is not None else big
+    hist0 = jnp.zeros((max_outer + 1, 5), f32)
+    hist0 = hist0.at[0].set(
+        jnp.stack(
+            [
+                jnp.zeros((), f32),
+                big,
+                jnp.max(jnp.abs(s_init)),
+                err_init,
+                jnp.sqrt(jnp.sum(s_init * s_init)),
+            ]
+        )
+    )
+    c0 = (
+        x_init, r_init, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        false, jnp.asarray(int(StopReason.ITERATIONS), jnp.int32), big,
+        err_init,
+        big, false, hist0,
+    )
+    x, r, k_out, total_inner, done, reason, prec, err, _, _, hist = lax.while_loop(
+        ocond, obody, c0
+    )
+    stats = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    k_out.astype(f32),
+                    total_inner.astype(f32),
+                    done.astype(f32),
+                    reason.astype(f32),
+                    jnp.max(jnp.abs(r[0] + r[1])),
+                    prec,
+                    err,
+                    jnp.sum((r[0] + r[1]) ** 2),
+                    r0_norm,
+                ]
+            ),
+            hist.ravel(),
+        ]
+    )
+    # reconstruct the full-precision iterate ONCE, outside the loop: a single
+    # f32 value cannot represent below the eps32·‖A‖‖x‖ floor the pair just
+    # solved past (one f64 add sweep — the only f64 op in the program)
+    x_out = x[0].astype(b.dtype) + x[1].astype(b.dtype)
+    return x_out, r[0] + r[1], stats
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def _fmg_start(M, b, n_vcycles: int = 1):
     """FMG initial guess as its OWN compiled program.
@@ -536,7 +705,7 @@ def _maybe_fmg_x0(M, fmg, b):
     return _fmg_start(M, b, int(fmg))
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), static_argnames=("ff",))
 def _device_ir(
     engine,  # kernels.cg_fused.FusedCGEngine with its V-cycle M (f32, padded)
     A_hi,  # high-precision operator on the SAME padded layout
@@ -547,6 +716,8 @@ def _device_ir(
     b,  # padded f64 RHS
     u_true,  # padded f64 exact solution or None
     x0=None,  # optional f32 warm start (FMG), traced
+    *,
+    ff: bool = False,  # double-f32 outer (no per-outer f64 work)
 ):
     """The whole mixed-precision IR loop as ONE compiled program.
 
@@ -566,13 +737,13 @@ def _device_ir(
 
     f32 = jnp.float32
     false = jnp.asarray(False)
-    r0_norm = jnp.sqrt(jnp.sum(b * b))
+    r0_norm = jnp.sqrt(jnp.sum(b.astype(f32) ** 2)) if ff else jnp.sqrt(jnp.sum(b * b))
     M = engine.M
 
     def inner_solve(r_hi):
         """Fused PCG on A d = r (f32, from zero) to a traced relative tol."""
-        r32 = r_hi.astype(f32)
-        eta = _traced_inner_eta(stop, inner_rel_tol, r_hi, r0_norm)
+        r32 = (r_hi[0] + r_hi[1]) if ff else r_hi.astype(f32)
+        eta = _traced_inner_eta(stop, inner_rel_tol, r32 if ff else r_hi, r0_norm)
         cwd = getattr(M, "call_with_dot", None)
         if cwd is not None:
             w0, rz0 = cwd(r32)  # dot fused into the V-cycle's finest K_up
@@ -601,7 +772,8 @@ def _device_ir(
         s = lax.while_loop(icond, ibody, s0)
         return s.x, s.k
 
-    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
+    loop = _outer_refine_loop_ff if ff else _outer_refine_loop
+    return loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
 
 
 def fused_refined_solve(
@@ -616,6 +788,7 @@ def fused_refined_solve(
     max_outer: int = 8,
     fmg=False,  # False/0 cold | True/1 | int n = FMG polish V-cycles per level
     profiler=None,
+    ff: bool = False,  # double-f32 outer (ops/ddf32.py) — no per-outer f64
 ) -> RefinedResult:
     """Mixed-precision refinement with the WHOLE loop on device.
 
@@ -644,7 +817,7 @@ def fused_refined_solve(
         x0 = _maybe_fmg_x0(engine.M, fmg, bp)
         x, r, stats_dev = _device_ir(
             engine, A_hi, stop, inner_rel_tol, inner_max_iter, max_outer,
-            bp, up, x0,
+            bp, up, x0, ff=ff,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
     return _finish_refined(
@@ -818,7 +991,9 @@ def engine_refined_solve(
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@partial(
+    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6), static_argnames=("ff",)
+)
 def _device_ir_generic(
     A_hi,  # high-precision operator
     A_lo,  # f32 operator, same field shape
@@ -830,18 +1005,23 @@ def _device_ir_generic(
     b,
     u_true,
     x0=None,  # optional f32 warm start (FMG), traced
+    *,
+    ff: bool = False,  # double-f32 outer (no per-outer f64 work)
 ):
     """Operator-agnostic variant of :func:`_device_ir`: the inner solve is
     the standard jnp PCG recurrence instead of the 2D fused engine, so any
     operator/preconditioner pair (3D stencils, sharded operators) gets the
-    one-dispatch/one-fetch refinement loop."""
+    one-dispatch/one-fetch refinement loop. ``ff=True`` swaps the f64 outer
+    state for double-f32 pairs (:func:`_outer_refine_loop_ff`): the same
+    trajectory to f32-pair rounding, with the per-outer f64 stencil apply,
+    axpy, and norm emulation replaced by compensated f32."""
     f32 = jnp.float32
     false = jnp.asarray(False)
-    r0_norm = jnp.sqrt(jnp.sum(b * b))
+    r0_norm = jnp.sqrt(jnp.sum(b.astype(f32) ** 2)) if ff else jnp.sqrt(jnp.sum(b * b))
 
     def inner_solve(r_hi):
-        r32 = r_hi.astype(f32)
-        eta = _traced_inner_eta(stop, inner_rel_tol, r_hi, r0_norm)
+        r32 = (r_hi[0] + r_hi[1]) if ff else r_hi.astype(f32)
+        eta = _traced_inner_eta(stop, inner_rel_tol, r32 if ff else r_hi, r0_norm)
         z0 = M(r32) if M is not None else r32
         rz0 = jnp.sum(r32 * z0)
         r2_0 = jnp.sum(r32 * r32)
@@ -871,7 +1051,8 @@ def _device_ir_generic(
         )
         return x, k
 
-    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
+    loop = _outer_refine_loop_ff if ff else _outer_refine_loop
+    return loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
 
 
 def device_refined_solve(
@@ -887,6 +1068,7 @@ def device_refined_solve(
     max_outer: int = 8,
     fmg=False,  # False/0 cold | True/1 | int n = FMG polish V-cycles per level
     profiler=None,
+    ff: bool = False,  # double-f32 outer (ops/ddf32.py) — no per-outer f64
 ) -> RefinedResult:
     """Generic one-dispatch mixed-precision refinement (cf.
     :func:`fused_refined_solve`, which binds the 2D fused Pallas engine).
@@ -906,7 +1088,7 @@ def device_refined_solve(
         x0 = _maybe_fmg_x0(preconditioner, fmg, b)
         x, r, stats_dev = _device_ir_generic(
             A_hi, A_lo, preconditioner, stop, inner_rel_tol, inner_max_iter,
-            max_outer, b, u_true, x0,
+            max_outer, b, u_true, x0, ff=ff,
         )
         stats = np.asarray(stats_dev)  # the ONE host fetch
     return _finish_refined(

@@ -399,3 +399,77 @@ def test_facade_mixed_produces_convergence_plot(tmp_path):
     out = tmp_path / "conv.png"
     viz.convergence_plot(res, str(out))
     assert out.stat().st_size > 1000
+
+
+def test_device_refined_solve_ff_matches_f64():
+    """ff=True (double-f32 outer, ops/ddf32.py) must track the f64 outer:
+    same stop reason, same outer count, true residual verified in f64."""
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.solvers.refine import device_refined_solve
+
+    dom = Domain3D(nx=16, ny=16, nz=16)
+    prob = PoissonProblem.manufactured(dom)
+    b64 = prob.rhs_field(jnp.float64)
+    u64 = prob.true_solution_field(jnp.float64)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom)
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-9, max_iterations=10000
+    )
+    kw = dict(u_true=u64, stop=stop, preconditioner=M)
+    res64 = device_refined_solve(op, op, b64, **kw)
+    resff = device_refined_solve(op, op, b64, ff=True, **kw)
+    assert resff.converged and resff.reason == res64.reason
+    assert resff.outer_iterations == res64.outer_iterations
+    assert resff.x.dtype == b64.dtype
+    # the TRUE f64 residual of the ff result must meet the criterion too
+    r = b64 - op(jnp.asarray(resff.x, jnp.float64))
+    assert float(jnp.linalg.norm(r)) / resff.initial_residual_norm < 1e-8
+    # histories line up row-for-row to f32-pair rounding
+    h64, hff = res64.history, resff.history
+    assert h64.shape == hff.shape
+    np.testing.assert_allclose(hff[:, 4], h64[:, 4], rtol=1e-4)
+
+
+def test_fused_refined_solve_ff_2d():
+    from iterative_solvers_tpu.kernels.stencil_pallas import PallasStencilOperator
+    from iterative_solvers_tpu.solvers.multigrid import (
+        MultigridPreconditioner,
+        PaddedPreconditioner,
+    )
+    from iterative_solvers_tpu.solvers.refine import fused_refined_solve
+
+    dom = Domain2D(nx=32, ny=32)
+    prob = PoissonProblem.manufactured(dom)
+    b64 = prob.rhs_field(jnp.float64)
+    pop = PallasStencilOperator.from_domain(dom)
+    Mp = PaddedPreconditioner(
+        inner=MultigridPreconditioner.from_domain(dom), padded_op=pop
+    )
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-9, max_iterations=10000
+    )
+    res = fused_refined_solve(pop, Mp, b64, stop=stop, ff=True)
+    assert res.converged and res.reason == StopReason.RELATIVE_RESIDUAL
+    op = StencilOperator.from_domain(dom)
+    r = b64 - op(jnp.asarray(res.x, jnp.float64))
+    assert float(jnp.linalg.norm(r)) / res.initial_residual_norm < 1e-8
+
+
+def test_device_refined_solve_ff_fmg_and_max_norm():
+    # ff with an FMG warm start and the max-norm RESIDUAL criterion
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.solvers.refine import device_refined_solve
+
+    dom = Domain3D(nx=16, ny=16, nz=16)
+    prob = PoissonProblem.manufactured(dom)
+    b64 = prob.rhs_field(jnp.float64)
+    op = StencilOperator.from_domain(dom)
+    M = MultigridPreconditioner.from_domain(dom).with_fmg(prob)
+    stop = StopConfig(eps_precision=-1, eps_residual=1e-6, max_iterations=10000)
+    res = device_refined_solve(
+        op, op, b64, stop=stop, preconditioner=M, fmg=True, ff=True
+    )
+    assert res.converged and res.reason == StopReason.RESIDUAL
+    r = b64 - op(jnp.asarray(res.x, jnp.float64))
+    assert float(jnp.max(jnp.abs(r))) < 1.5e-6  # f32-pair slack on the f64 recheck
