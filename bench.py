@@ -244,7 +244,11 @@ def _bench_solve(n: int, on_tpu: bool) -> None:
         Mp = PaddedPreconditioner(inner=M.with_fmg(prob), padded_op=pop)
 
         def run_solve():
-            return fused_refined_solve(pop, Mp, b64, stop=stop, fmg=True)
+            # ff=True: double-f32 outer (ops/ddf32.py) — no f64 op in the
+            # program. A/B'd on hardware 2026-08-20 (tools/profile_ff.py):
+            # 161.6 vs 174.7 ms warm at 8192², identical trajectory
+            # (1 outer / 2 inners, rel 1.20e-07 both).
+            return fused_refined_solve(pop, Mp, b64, stop=stop, fmg=True, ff=True)
 
     else:
 
@@ -367,8 +371,11 @@ def _bench_solve_3d(n: int) -> None:
     b64p = pop3.pad(b64)
 
     def run_3d():
+        # ff=True A/B'd on hardware 2026-08-20 (tools/profile_ff.py --3d):
+        # 406.4 vs 462.1 ms warm at 512³, identical trajectory (1 outer /
+        # 3 inners, rel 9.57e-08 both).
         return device_refined_solve(
-            A_hi3, pop3, b64p, stop=stop, preconditioner=Mp3, fmg=True
+            A_hi3, pop3, b64p, stop=stop, preconditioner=Mp3, fmg=True, ff=True
         )
 
     run_3d()  # compile

@@ -142,6 +142,11 @@ class DirichletSolver:
         fmg_cycles: int = 1,  # FMG polish V-cycles per level for the mixed
         # ladder's warm start; 0 disables FMG, 2-3 for sharp problems whose
         # interpolation constants dominate (tests/test_fmg.py)
+        outer: str = "auto",  # mixed ladder's outer arithmetic:
+        # 'f64' float-float | 'ff' double-f32 pairs (ops/ddf32.py — no f64
+        # ops in the program; measured 8% faster at 8192², 12% at 512³ with
+        # identical trajectories) | 'auto' = ff wherever the single-chip
+        # device-IR loop runs, f64 elsewhere (mesh outers, host ladder)
     ) -> None:
         if problem is not None:
             self.problem = problem
@@ -158,6 +163,7 @@ class DirichletSolver:
         if not (isinstance(fmg_cycles, int) and fmg_cycles >= 0):
             raise ValueError(f"fmg_cycles must be an int >= 0, got {fmg_cycles!r}")
         self.fmg_cycles = fmg_cycles
+        self.outer = outer
         self._validate_config()
         self._stop_event = threading.Event()
         self._op = None
@@ -213,6 +219,23 @@ class DirichletSolver:
             raise ValueError(
                 f"unknown precision {self.precision!r} (use None or 'mixed')"
             )
+        if self.outer not in ("auto", "f64", "ff"):
+            raise ValueError(
+                f"unknown outer {self.outer!r} (use 'auto', 'f64' or 'ff')"
+            )
+        if self.outer == "ff":
+            if self.precision != "mixed":
+                raise ValueError(
+                    "outer='ff' selects the mixed ladder's outer arithmetic — "
+                    "it needs precision='mixed'"
+                )
+            if self.mesh is not None:
+                raise ValueError(
+                    "outer='ff' is single-chip only: the sharded outer loops "
+                    "evaluate the true residual through the halo-exchange "
+                    "operator, which the double-f32 evaluation does not "
+                    "partition — use outer='auto' (ff where supported) or 'f64'"
+                )
         if self.precision == "mixed" and operator != "stencil" and not (
             operator in ("pallas", "fused") and self.mesh is not None
         ):
@@ -531,9 +554,19 @@ class DirichletSolver:
             # request_stop cannot preempt the single dispatch (bounded by
             # max_outer x inner_max_iter); interactive callers (any callback)
             # keep the chunked host loop.
+            if self.outer == "ff" and callback is not None:
+                raise RuntimeError(
+                    "outer='ff' runs the whole ladder as one device program — "
+                    "live iteration callbacks need the host-chunked loop; use "
+                    "outer='auto'/'f64' with callbacks"
+                )
+            # outer='ff' forces the one-dispatch loop even on CPU (the ff
+            # arithmetic is backend-agnostic; only the latency argument for
+            # device-IR is TPU-specific) — this is also what makes the ff
+            # facade path testable on the CPU suite.
             use_device_ir = (
                 callback is None
-                and jax.default_backend() != "cpu"
+                and (jax.default_backend() != "cpu" or self.outer == "ff")
                 and not self._stop_event.is_set()
             )
             use_fused_ir = (
@@ -554,6 +587,13 @@ class DirichletSolver:
                 and self.operator_kind in ("pallas", "fused")
                 and self.preconditioner is not None
                 and self.preconditioner.split(":")[0] in ("mg", "multigrid")
+            )
+            # double-f32 outer wherever the single-chip device-IR loop runs:
+            # measured strictly faster with identical trajectories (8% at
+            # 8192², 12% at 512³ — NOTES_PERF round 5); the mesh outers stay
+            # f64 (residual_ff does not partition over the halo operator)
+            use_ff = self.outer == "ff" or (
+                self.outer == "auto" and use_device_ir and self.mesh is None
             )
             if use_mesh_engine_ir:
                 # sharded fused engine + shard-fused V-cycle: the whole IR
@@ -588,6 +628,7 @@ class DirichletSolver:
                     stop=self.stop,
                     fmg=self.fmg_cycles,
                     profiler=profiler,
+                    ff=use_ff,
                 )
             elif use_device_ir:
                 from iterative_solvers_tpu.solvers.refine import device_refined_solve
@@ -601,6 +642,8 @@ class DirichletSolver:
                     preconditioner=M,
                     fmg=self.fmg_cycles,
                     profiler=profiler,
+                    ff=use_ff,  # always False when mesh is set ('ff'+mesh is
+                    # rejected at construction; 'auto' requires mesh None)
                 )
             else:
                 # host-side chunked ladder (CPU backend or live callback):

@@ -79,6 +79,8 @@ class SolveConfig:
     # FMG warm-start polish V-cycles per level for precision='mixed'
     # (0 disables; 2-3 for sharp problems — tests/test_fmg.py)
     fmg_cycles: int = 1
+    # mixed ladder's outer arithmetic: auto | f64 | ff (double-f32 pairs)
+    outer: str = "auto"
 
     # stop criteria (eps <= 0 disables; reference dirichlet_solver.cpp:14-16)
     eps_precision: float = 1e-6
@@ -143,6 +145,7 @@ class SolveConfig:
             precision=self.precision,
             mesh=mesh,
             fmg_cycles=self.fmg_cycles,
+            outer=self.outer,
         )
 
     # --- serialization ------------------------------------------------------

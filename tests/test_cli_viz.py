@@ -240,3 +240,20 @@ def test_print_matrix_refuses_huge(capsys):
                "--progress-every", "0", "--print-matrix"])
     assert rc == 0
     assert "too large for a console table" in capsys.readouterr().out
+
+
+def test_cli_outer_flag(tmp_path, capsys):
+    """--outer reaches the facade and round-trips through the config file;
+    'ff' converges end-to-end through the CLI (forces the device-IR ladder
+    even on CPU)."""
+    rc = main(["solve", "--nx", "16", "--ny", "16", "--precond", "mg",
+               "--precision", "mixed", "--outer", "ff",
+               "--save-config", str(tmp_path / "c.json"),
+               "--quiet", "--progress-every", "0"])
+    assert rc == 0
+    capsys.readouterr()
+    from iterative_solvers_tpu.config import SolveConfig
+
+    cfg = SolveConfig.load(str(tmp_path / "c.json"))
+    assert cfg.outer == "ff"
+    assert cfg.make_solver().outer == "ff"

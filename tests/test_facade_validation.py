@@ -101,3 +101,63 @@ def test_mesh_operator_validation():
         DirichletSolver(
             domain=Domain3D(nx=8, ny=8, nz=8), operator="fused", mesh=mesh
         )
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(outer="f32"),  # unknown value
+        dict(outer="ff"),  # ff without precision='mixed'
+        dict(outer="ff", precision="mixed", operator="pallas"),  # no mesh
+    ],
+)
+def test_outer_option_rejected_at_init(kwargs):
+    with pytest.raises(ValueError):
+        DirichletSolver(nx=8, ny=8, **kwargs)
+
+
+def test_outer_ff_mesh_rejected():
+    import jax
+
+    from iterative_solvers_tpu.parallel import make_solver_mesh
+
+    mesh = make_solver_mesh(devices=jax.devices())
+    with pytest.raises(ValueError, match="single-chip"):
+        DirichletSolver(
+            nx=8, ny=8, operator="pallas", precision="mixed",
+            preconditioner="mg", mesh=mesh, outer="ff",
+        )
+
+
+def test_outer_ff_facade_solve_matches_f64():
+    """outer='ff' forces the one-dispatch device-IR ladder even on the CPU
+    backend (api.solve: the ff arithmetic is backend-agnostic), so the
+    facade ff path is exercised end-to-end by the CPU suite. It must land
+    the same converged answer as the default host ladder."""
+    from iterative_solvers_tpu.solvers.stopping import StopConfig
+
+    stop = StopConfig(
+        eps_precision=-1, eps_residual=-1, eps_relative=1e-8,
+        max_iterations=10000,
+    )
+    kw = dict(nx=16, ny=16, precision="mixed", preconditioner="mg", stop=stop)
+    res_ff = DirichletSolver(outer="ff", **kw).solve(record_history=False)
+    res_64 = DirichletSolver(outer="f64", **kw).solve(record_history=False)
+    assert res_ff.converged and res_64.converged
+    # both land at the discretization error; the iterates differ only at the
+    # double-f32 ladder floor (~1e-8 relative at this size)
+    assert res_ff.error_norm == pytest.approx(res_64.error_norm, rel=1e-5)
+    import numpy as np
+
+    assert np.max(
+        np.abs(np.asarray(res_ff.solution) - np.asarray(res_64.solution))
+    ) < 1e-6 * np.max(np.abs(np.asarray(res_64.solution)))
+
+
+def test_outer_ff_rejects_live_callback():
+    s = DirichletSolver(
+        nx=8, ny=8, precision="mixed", preconditioner="mg", outer="ff",
+        stop=STOP,
+    )
+    with pytest.raises(RuntimeError, match="callback"):
+        s.solve(callback=lambda *a: None)
