@@ -235,6 +235,29 @@ def _make_k_up(nx, ny, cd, cx, cy, cs, by, wp, mask_mode, ch, with_dot=False):
     return kernel
 
 
+def _make_k_jacobi(nx, ny, cd, cx, cy, cs, by, wp, mask_mode):
+    """One weighted-Jacobi sweep ``out = x + (ω/d)·(b − A x)`` as a single
+    HBM pass (reads x with a 1-row halo each side + b, writes out — 12 B/node
+    vs ~24 B/node for the jnp apply + axpy pair). Used by the FMG warm
+    start's fine-level polish (multigrid._fmg_rung): above the V-cycle
+    polish cutoff each level runs ``smooth_sweeps`` of these."""
+    pred = _interior_pred(mask_mode, nx, ny)
+
+    def kernel(x_ref, xup_ref, xdn_ref, b_ref, o_ref):
+        i = pl.program_id(0)
+        row0 = i * by
+        m = _mask_at(pred, row0, (by, wp))
+        xm = jnp.where(m, x_ref[...], 0.0)
+        bm = jnp.where(m, b_ref[...], 0.0)
+        xa = jnp.where(_mask_at(pred, row0 - 1, (1, wp)), xup_ref[-1:, :], 0.0)
+        xb = jnp.where(_mask_at(pred, row0 + by, (1, wp)), xdn_ref[:1, :], 0.0)
+        x_ext = jnp.concatenate([xa, xm, xb], axis=0)
+        R = _stencil_rows(x_ext, bm, m, cd, cx, cy, wp)
+        o_ref[...] = jnp.where(m, xm + cs * R, 0.0)
+
+    return kernel
+
+
 @dataclass(frozen=True, eq=False)
 class FusedLevelKernels:
     """Compiled down/up legs of one V-cycle level on its padded layout."""
@@ -363,6 +386,41 @@ class FusedLevelKernels:
             out, dot_p = res
             return out, jnp.sum(dot_p[:, 0, 0])
         return res
+
+    def jacobi(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """One weighted-Jacobi sweep on the padded layout (algebraic masks
+        only — custom domains keep the jnp polish path)."""
+        if self.mask8 is not None:
+            raise NotImplementedError("jacobi kernel: algebraic masks only")
+        with jax.enable_x64(False):
+            return self._jacobi(x, b)
+
+    def _jacobi(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        hp, wp = self.padded_shape
+        by = self.block_rows
+        cd, cx, cy = self.coeffs
+        g = hp // by
+        gy = hp // 8
+        kernel = _make_k_jacobi(
+            self.nx, self.ny, cd, cx, cy, self.cs, by, wp, self.mask_mode
+        )
+        in_specs = [
+            pl.BlockSpec((by, wp), lambda i: (i, 0)),
+            pl.BlockSpec((8, wp), lambda i: (jnp.maximum(i * (by // 8) - 1, 0), 0)),
+            pl.BlockSpec(
+                (8, wp), lambda i: (jnp.minimum(i * (by // 8) + by // 8, gy - 1), 0)
+            ),
+            pl.BlockSpec((by, wp), lambda i: (i, 0)),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((by, wp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((hp, wp), x.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(x, x, x, b)
 
 
 def lane_restrict(rr: jnp.ndarray, nx: int, wc_pad: int) -> jnp.ndarray:

@@ -116,6 +116,36 @@ def _make_k_zrestrict(by, wp, d):
     return kernel
 
 
+def _make_k_jacobi_3d(nx, ny, nz, cd, cx, cy, cz, cs, by, wp):
+    """One weighted-Jacobi sweep ``out = x + (ω/d)·(b − A x)`` at one fine
+    plane (grid over fine z × y-panels): reads the three x planes t−1,t,t+1
+    (+ the center plane's y-halo groups) and the b plane, writes the swept
+    plane. Single HBM pass for what the jnp path does in apply + axpy
+    sweeps; 3-plane like K_resid, so it compiles in seconds (the 5-plane
+    Mosaic blowup documented at _make_k_resid_3d does not apply)."""
+
+    def kernel(xzm_ref, x_ref, xzp_ref, hup_ref, hdn_ref, b_ref, o_ref):
+        t = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = j * by
+
+        m = _mask_at(nx, ny, nz, t, row0, (by, wp))
+        xm = jnp.where(m, x_ref[0], 0.0)
+        bm = jnp.where(m, b_ref[0], 0.0)
+        mzm = _mask_at(nx, ny, nz, t - 1, row0, (by, wp))
+        mzp = _mask_at(nx, ny, nz, t + 1, row0, (by, wp))
+        xzm = jnp.where(mzm, xzm_ref[0], 0.0)
+        xzp = jnp.where(mzp, xzp_ref[0], 0.0)
+        mu = _mask_at(nx, ny, nz, t, row0 - 1, (1, wp))
+        md = _mask_at(nx, ny, nz, t, row0 + by, (1, wp))
+        xup = jnp.where(mu, hup_ref[0, -1:, :], 0.0)
+        xdn = jnp.where(md, hdn_ref[0, :1, :], 0.0)
+        r = _residual_plane(xm, xup, xdn, xzm, xzp, bm, m, cd, cx, cy, cz, wp)
+        o_ref[0] = xm + cs * r
+
+    return kernel
+
+
 def _make_k_up_3d(nx, ny, nz, cd, cx, cy, cz, cs, by, wp, dc):
     def kernel(*refs):
         # inputs: b planes t-1,t,t+1 (3) + their y-halo groups (6),
@@ -465,6 +495,45 @@ class FusedLevelKernels3D:
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
             interpret=self.interpret,
         )(r, r, r)
+
+    def jacobi(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """One weighted-Jacobi sweep on the padded (D, Hp, Wp) layout."""
+        with jax.enable_x64(False):
+            return self._jacobi(x, b)
+
+    def _jacobi(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        d, hp, wp = self.padded_shape
+        by = self.block_rows
+        cd, cx, cy, cz = self.coeffs
+        kernel = _make_k_jacobi_3d(
+            self.nx, self.ny, self.nz, cd, cx, cy, cz, self.cs, by, wp
+        )
+        gy8 = hp // 8
+
+        def plane(off):
+            return pl.BlockSpec(
+                (1, by, wp),
+                lambda t, j, off=off: (jnp.clip(t + off, 0, d - 1), j, 0),
+            )
+
+        halo_up = pl.BlockSpec(
+            (1, 8, wp),
+            lambda t, j: (t, jnp.maximum(j * (by // 8) - 1, 0), 0),
+        )
+        halo_dn = pl.BlockSpec(
+            (1, 8, wp),
+            lambda t, j: (t, jnp.minimum(j * (by // 8) + by // 8, gy8 - 1), 0),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(d, hp // by),
+            in_specs=[plane(-1), plane(0), plane(1), halo_up, halo_dn,
+                      pl.BlockSpec((1, by, wp), lambda t, j: (t, j, 0))],
+            out_specs=pl.BlockSpec((1, by, wp), lambda t, j: (t, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((d, hp, wp), x.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(x, x, x, x, x, b)
 
     def up(self, b: jnp.ndarray, ec_yx: jnp.ndarray) -> jnp.ndarray:
         """Post-smoothed corrected iterate; ``ec_yx`` is the y/x-prolonged

@@ -786,9 +786,27 @@ def _fmg_rung(
             x = x + M._vcycle(li, r)
     else:
         lev = M.levels[li]
-        jl = getattr(lev, "jnp_level", lev)
-        for _ in range(n_smooth):
-            x = x + jl.omega_over_diag * (bl - M._apply_at(li, x))
+        use_pallas = (
+            x.dtype == jnp.float32
+            and (
+                (isinstance(lev, _FusedLevel) and lev.kernels.mask8 is None)
+                or isinstance(lev, _FusedLevel3D)
+            )
+        )
+        if use_pallas:
+            # fused sweep kernel: 1 HBM pass per sweep vs the jnp apply +
+            # axpy passes (~2x the polish cost at the finest levels, which
+            # is where this branch runs — NOTES_PERF round 5). The pad/crop
+            # pair costs ~1 apply-equivalent total, amortized over n_smooth.
+            xp = lev.pad_in(x)
+            bp = lev.pad_in(bl)
+            for _ in range(n_smooth):
+                xp = lev.kernels.jacobi(xp, bp)
+            x = xp[..., : lev.h, : lev.w]
+        else:
+            jl = getattr(lev, "jnp_level", lev)
+            for _ in range(n_smooth):
+                x = x + jl.omega_over_diag * (bl - M._apply_at(li, x))
     return x
 
 

@@ -560,3 +560,69 @@ def test_fused3d_chunked_legs_match_per_plane():
         u1, u2 = np.asarray(k1.up(b, ec)), np.asarray(kc.up(b, ec))
         s = max(np.abs(u1).max(), 1e-30)
         np.testing.assert_allclose(u2, u1, rtol=1e-5, atol=1e-5 * s)
+
+
+@pytest.mark.parametrize("shape,n", [("gamma", 32), ("rect", 32)])
+def test_jacobi_kernel_matches_jnp_sweep(shape, n):
+    """The fused Jacobi-sweep kernel (FMG polish fast path) must reproduce
+    x + (ω/d)·(b − A x) of the jnp level to f32 round-off."""
+    dom = Domain2D(nx=n, ny=n, shape=shape)
+    M = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    from iterative_solvers_tpu.solvers.multigrid import _FusedLevel
+
+    lev = M.levels[0]
+    assert isinstance(lev, _FusedLevel)
+    rng = np.random.default_rng(3)
+    jl = lev.jnp_level
+    x = jl.mask(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32))
+    b = jl.mask(jnp.asarray(rng.standard_normal(dom.grid_shape), jnp.float32))
+    want = x + jl.omega_over_diag * (b - jl.apply(x))
+    got = lev.kernels.jacobi(lev.pad_in(x), lev.pad_in(b))[: lev.h, : lev.w]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-6 * float(jnp.abs(want).max())
+    )
+
+
+def test_jacobi3d_kernel_matches_jnp_sweep():
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.solvers.multigrid import _FusedLevel3D
+
+    dom = Domain3D(nx=16, ny=16, nz=16)
+    M = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    lev = M.levels[0]
+    assert isinstance(lev, _FusedLevel3D)
+    jl = lev.jnp_level
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    x = jl.mask(jax.random.normal(k1, dom.grid_shape).astype(jnp.float32))
+    b = jl.mask(jax.random.normal(k2, dom.grid_shape).astype(jnp.float32))
+    want = x + jl.omega_over_diag * (b - jl.apply(x))
+    got = lev.kernels.jacobi(lev.pad_in(x), lev.pad_in(b))[:, : lev.h, : lev.w]
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=2e-6 * scale
+    )
+
+
+def test_fmg_polish_pallas_path_matches_jnp():
+    """fmg_stepwise with a polish cutoff must produce the same warm start
+    whether the smoothing sweeps run the fused Jacobi kernel or the jnp
+    fallback (forced via a small polish_max_extent so fine levels smooth)."""
+    from iterative_solvers_tpu.core.problem import PoissonProblem
+
+    dom = Domain2D(nx=32, ny=32)
+    prob = PoissonProblem.manufactured(dom)
+    b = prob.rhs_field(jnp.float32)
+    M_fused = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    ).with_fmg(prob)
+    M_jnp = MultigridPreconditioner.from_domain(dom, fuse=False).with_fmg(prob)
+    x_fused = M_fused.fmg_stepwise(b, 1, polish_max_extent=8, smooth_sweeps=4)
+    x_jnp = M_jnp.fmg_stepwise(b, 1, polish_max_extent=8, smooth_sweeps=4)
+    scale = float(jnp.abs(x_jnp).max())
+    np.testing.assert_allclose(
+        np.asarray(x_fused), np.asarray(x_jnp), atol=1e-5 * scale
+    )

@@ -94,9 +94,27 @@ def run_suite(x64: bool, results: dict) -> None:
 
     _check(f"mg_fused[{tag}]", lambda: jnp.sum(jax.jit(M)(b)), results)
 
+    # fused Jacobi-sweep kernel (FMG polish fast path, round 5)
+    lev0 = M.levels[0]
+    _check(
+        f"mg_jacobi[{tag}]",
+        lambda: jnp.sum(
+            lev0.kernels.jacobi(lev0.pad_in(b), lev0.pad_in(b))
+        ),
+        results,
+    )
+
     # 3D fused V-cycle legs (threshold ny+1 >= 128 at default fuse_min_extent)
     M3 = MultigridPreconditioner.from_domain(dom3)
     _check(f"mg_fused3d[{tag}]", lambda: jnp.sum(jax.jit(M3)(b3)), results)
+    lev30 = M3.levels[0]
+    _check(
+        f"mg_jacobi3d[{tag}]",
+        lambda: jnp.sum(
+            lev30.kernels.jacobi(lev30.pad_in(b3), lev30.pad_in(b3))
+        ),
+        results,
+    )
 
     # z-chunked variants: the chunked fused legs (block_z=4, ragged tail at
     # D=129) and the per-plane apply fallback (the auto stencil3d above is
