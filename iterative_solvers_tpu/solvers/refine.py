@@ -463,7 +463,8 @@ def _outer_refine_loop(
 
 
 def _outer_refine_loop_ff(
-    A_hi, stop: StopConfig, max_outer: int, b, u_true, inner_solve, x0=None
+    A_hi, stop: StopConfig, max_outer: int, b, u_true, inner_solve, x0=None,
+    residual_fn=None,
 ):
     """:func:`_outer_refine_loop` with the high-precision state as double-f32
     pairs (ops/ddf32.py) — NO f64 op anywhere in the program.
@@ -474,7 +475,12 @@ def _outer_refine_loop_ff(
     tests/test_ddf32.py). Norm reductions run in f32: their ~1e-7 relative
     error moves a 1e-6-relative stopping decision by <0.1% of threshold.
     ``inner_solve: (rh, rl) -> (d_f32, k_inner)``. Stats layout matches
-    :func:`_outer_refine_loop` (consumed by ``_finish_refined``)."""
+    :func:`_outer_refine_loop` (consumed by ``_finish_refined``).
+
+    ``residual_fn`` (optional): a fused ``(b_pair, x_pair) -> (rh, rl)``
+    replacing the jnp EFT chain — the Pallas single-pass kernel
+    (kernels/resid_ff.py) when the operator layout supports it; the jnp
+    chain costs ~30 ms per eval at 8192² vs ~3 ms fused."""
     from iterative_solvers_tpu.ops.ddf32 import (
         pair_add_f32,
         residual_ff,
@@ -498,6 +504,8 @@ def _outer_refine_loop_ff(
     r0_norm = jnp.sqrt(jnp.sum(s0 * s0))
 
     def residual(x_pair):
+        if residual_fn is not None:
+            return residual_fn((bh, bl), x_pair)
         return residual_ff(interior, coeffs, (bh, bl), x_pair)
 
     def err_of(x_pair):
@@ -772,8 +780,14 @@ def _device_ir(
         s = lax.while_loop(icond, ibody, s0)
         return s.x, s.k
 
-    loop = _outer_refine_loop_ff if ff else _outer_refine_loop
-    return loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
+    if ff:
+        from iterative_solvers_tpu.kernels.resid_ff import ff_residual_fn
+
+        return _outer_refine_loop_ff(
+            A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0,
+            residual_fn=ff_residual_fn(getattr(engine, "op", None), b.shape),
+        )
+    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
 
 
 def fused_refined_solve(
@@ -1051,8 +1065,14 @@ def _device_ir_generic(
         )
         return x, k
 
-    loop = _outer_refine_loop_ff if ff else _outer_refine_loop
-    return loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
+    if ff:
+        from iterative_solvers_tpu.kernels.resid_ff import ff_residual_fn
+
+        return _outer_refine_loop_ff(
+            A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0,
+            residual_fn=ff_residual_fn(A_lo, b.shape),
+        )
+    return _outer_refine_loop(A_hi, stop, max_outer, b, u_true, inner_solve, x0=x0)
 
 
 def device_refined_solve(

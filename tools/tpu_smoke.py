@@ -104,6 +104,22 @@ def run_suite(x64: bool, results: dict) -> None:
         results,
     )
 
+    # fused ff-residual kernel (double-f32 outer fast path, round 5)
+    from iterative_solvers_tpu.kernels.resid_ff import ff_residual_fn
+    from iterative_solvers_tpu.ops.ddf32 import split_f64
+
+    rf2 = ff_residual_fn(op, op.padded_shape)
+    bp_pair = (
+        split_f64(op.pad(b).astype(jnp.float64))
+        if x64
+        else (op.pad(b), jnp.zeros(op.padded_shape, jnp.float32))
+    )
+    _check(
+        f"resid_ff2d[{tag}]",
+        lambda: jnp.sum(sum(rf2(bp_pair, bp_pair))),
+        results,
+    )
+
     # 3D fused V-cycle legs (threshold ny+1 >= 128 at default fuse_min_extent)
     M3 = MultigridPreconditioner.from_domain(dom3)
     _check(f"mg_fused3d[{tag}]", lambda: jnp.sum(jax.jit(M3)(b3)), results)
@@ -113,6 +129,18 @@ def run_suite(x64: bool, results: dict) -> None:
         lambda: jnp.sum(
             lev30.kernels.jacobi(lev30.pad_in(b3), lev30.pad_in(b3))
         ),
+        results,
+    )
+
+    rf3 = ff_residual_fn(op3, op3.padded_shape)
+    b3p_pair = (
+        split_f64(op3.pad(b3).astype(jnp.float64))
+        if x64
+        else (op3.pad(b3), jnp.zeros(op3.padded_shape, jnp.float32))
+    )
+    _check(
+        f"resid_ff3d[{tag}]",
+        lambda: jnp.sum(sum(rf3(b3p_pair, b3p_pair))),
         results,
     )
 
