@@ -35,6 +35,8 @@ from iterative_solvers_tpu.solvers.stopping import StopConfig
 
 
 def fence(x) -> float:
+    if getattr(x, "ndim", 0) == 0:
+        return float(x)
     return float(jnp.sum(x.astype(jnp.float32)[..., :1, :1]))
 
 
@@ -86,11 +88,32 @@ def main(n: int) -> None:
         ),
         b32p,
     )
-    timed("b - A_hi(x) residual (f64)", jax.jit(lambda x: b64p - A_hi(x)), b64p)
+    # NB b must be an ARGUMENT — a captured 550 MB f64 array becomes an HLO
+    # constant and blows the tunnel compile-server limit (HTTP 413)
+    timed("b - A_hi(x) residual (f64)", jax.jit(lambda b, x: b - A_hi(x)), b64p, b64p)
     timed(
         "f64 norms (sum r*r + max|r|)",
         jax.jit(lambda r: jnp.sum(r * r) + jnp.max(jnp.abs(r))),
         b64p,
+    )
+    from iterative_solvers_tpu.kernels.resid_ff import ff_residual_fn
+    from iterative_solvers_tpu.ops.ddf32 import residual_ff, split_f64
+
+    bh, bl = split_f64(b64p)
+    timed(
+        "ff residual (jnp EFT chain)",
+        jax.jit(
+            lambda bh, bl, xh, xl: residual_ff(
+                A_hi.interior, A_hi.coeffs, (bh, bl), (xh, xl)
+            )[0]
+        ),
+        bh, bl, bh, bl,
+    )
+    rfk = ff_residual_fn(pop, pop.padded_shape)
+    timed(
+        "ff residual (fused Pallas kernel)",
+        jax.jit(lambda bh, bl, xh, xl: rfk((bh, bl), (xh, xl))[0]),
+        bh, bl, bh, bl,
     )
 
     x0 = Mp.fmg_stepwise(
@@ -116,19 +139,21 @@ def main(n: int) -> None:
             f"  outers={int(stn[0])} inners={int(stn[1])}"
         )
 
-    def run():
-        return fused_refined_solve(pop, Mp, b64, stop=stop, fmg=True)
+    for ff in (False, True):
+        def run(ff=ff):
+            return fused_refined_solve(pop, Mp, b64, stop=stop, fmg=True, ff=ff)
 
-    run()
-    for _ in range(2):
-        t0 = time.perf_counter()
-        res = run()
-        t = time.perf_counter() - t0
-        rel = res.residual_norm / res.initial_residual_norm
-        print(
-            f"  fused_refined_solve (fmg=True)  {t:9.3f} s  rel={rel:.2e}"
-            f"  outers={res.outer_iterations} inners={res.iterations}"
-        )
+        run()
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = run()
+            t = time.perf_counter() - t0
+            rel = res.residual_norm / res.initial_residual_norm
+            print(
+                f"  fused_refined_solve (fmg=True, ff={ff!s:<5})  {t:9.3f} s"
+                f"  rel={rel:.2e}  outers={res.outer_iterations}"
+                f" inners={res.iterations}"
+            )
 
 
 if __name__ == "__main__":
