@@ -345,7 +345,9 @@ class MultigridPreconditioner:
         fuse: Optional[bool] = None,
         fuse_min_extent: int = 512,
         interpret: Optional[bool] = None,
-        fuse_block_z: Optional[int] = None,  # even >1: z-chunked 3D legs
+        # 3D z-chunking of the fused legs: None = auto (8 on levels with
+        # D >= 32, per-plane below), 1 = per-plane, even >1 = that chunk
+        fuse_block_z: Optional[int] = None,
     ) -> "MultigridPreconditioner":
         if nu_pre != nu_post:
             raise ValueError(
@@ -452,11 +454,20 @@ class MultigridPreconditioner:
             for cand in range(8, min(hp, 129) + 1, 8):
                 if hp % cand == 0 and 24 * cand * wp * 4 <= 24 * 2**20:
                     by = cand
-            bzk = 1
-            if fuse_block_z is not None and fuse_block_z > 1:
+            if fuse_block_z is None:
+                # z-chunked legs by default on deep levels: each plane read
+                # once per leg instead of ~3x (read amplification 1 + 2/bz).
+                # Measured at 512³ on v5e: V-cycle 47.7->45.7 ms for bz 4->8,
+                # full ff solve 359.3 (per-plane) -> 311.5 ms (bz=8), same
+                # trajectory (NOTES_PERF round 5). Shallow levels keep the
+                # per-plane kernels (chunk masking overhead, nothing to save).
+                bzk = 8 if dz >= 32 else 1
+            elif fuse_block_z > 1:
                 if fuse_block_z % 2:
                     raise ValueError("fuse_block_z must be even (z-restrict pairs)")
                 bzk = fuse_block_z
+            else:
+                bzk = 1
             k = FusedLevelKernels3D(
                 nx=d.nx,
                 ny=d.ny,

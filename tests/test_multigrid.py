@@ -626,3 +626,32 @@ def test_fmg_polish_pallas_path_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(x_fused), np.asarray(x_jnp), atol=1e-5 * scale
     )
+
+
+def test_fused3d_auto_chunk_default_matches_per_plane():
+    """fuse_block_z=None now auto-selects z-chunked legs (bz=8) on levels
+    with D >= 32 — incl. ragged D (33 % 8 != 0). The auto default must
+    reproduce the per-plane V-cycle to FMA round-off."""
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.solvers.multigrid import _FusedLevel3D
+
+    dom = Domain3D(nx=32, ny=32, nz=32)  # D=33: ragged against bz=8
+    M_auto = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    M_pp = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True, fuse_block_z=1
+    )
+    lev = M_auto.levels[0]
+    assert isinstance(lev, _FusedLevel3D) and lev.kernels.block_z == 8
+    assert M_auto.levels[1].kernels.block_z == 1  # D=17 < 32 stays per-plane
+    assert M_pp.levels[0].kernels.block_z == 1
+    r = M_pp.levels[0].mask(
+        jax.random.normal(jax.random.PRNGKey(2), dom.grid_shape).astype(
+            jnp.float32
+        )
+    )
+    z_auto = np.asarray(M_auto(r))
+    z_pp = np.asarray(M_pp(r))
+    scale = max(np.abs(z_pp).max(), 1e-30)
+    np.testing.assert_allclose(z_auto, z_pp, rtol=1e-5, atol=1e-5 * scale)
