@@ -146,6 +146,51 @@ def _make_k_jacobi_3d(nx, ny, nz, cd, cx, cy, cz, cs, by, wp):
     return kernel
 
 
+def _make_k_jacobi_chunked_3d(nx, ny, nz, cd, cx, cy, cz, cs, bz, by, wp):
+    """z-chunked weighted-Jacobi sweep: each program sweeps ``bz`` fine
+    planes, reading each x-plane once (+ the two z-edge planes) instead of
+    the per-plane kernel's ~3 reads/plane. Ragged depth handled exactly like
+    the chunked down leg (garbage tail planes are mask-zeroed on read and
+    clipped on store)."""
+
+    def kernel(xc_ref, xzu_ref, xzd_ref, hup_ref, hdn_ref, b_ref, o_ref):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * bz
+        row0 = j * by
+
+        def xraw(off):  # raw x at fine plane z0+off, off in [-1, bz]
+            if off == -1:
+                return xzu_ref[0]
+            if off == bz:
+                return xzd_ref[0]
+            return xc_ref[off]
+
+        xs = {
+            off: jnp.where(
+                _mask_at(nx, ny, nz, z0 + off, row0, (by, wp)), xraw(off), 0.0
+            )
+            for off in range(-1, bz + 1)
+        }
+        for s in range(bz):
+            m = _mask_at(nx, ny, nz, z0 + s, row0, (by, wp))
+            bm = jnp.where(m, b_ref[s], 0.0)
+            xup = jnp.where(
+                _mask_at(nx, ny, nz, z0 + s, row0 - 1, (1, wp)),
+                hup_ref[s, -1:, :], 0.0,
+            )
+            xdn = jnp.where(
+                _mask_at(nx, ny, nz, z0 + s, row0 + by, (1, wp)),
+                hdn_ref[s, :1, :], 0.0,
+            )
+            r = _residual_plane(
+                xs[s], xup, xdn, xs[s - 1], xs[s + 1], bm, m, cd, cx, cy, cz, wp
+            )
+            o_ref[s] = xs[s] + cs * r
+
+    return kernel
+
+
 def _make_k_up_3d(nx, ny, nz, cd, cx, cy, cz, cs, by, wp, dc):
     def kernel(*refs):
         # inputs: b planes t-1,t,t+1 (3) + their y-halo groups (6),
@@ -499,7 +544,47 @@ class FusedLevelKernels3D:
     def jacobi(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """One weighted-Jacobi sweep on the padded (D, Hp, Wp) layout."""
         with jax.enable_x64(False):
+            if self.block_z > 1:
+                return self._jacobi_chunked(x, b)
             return self._jacobi(x, b)
+
+    def _jacobi_chunked(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        d, hp, wp = self.padded_shape
+        bz, by = self.block_z, self.block_rows
+        cd, cx, cy, cz = self.coeffs
+        kernel = _make_k_jacobi_chunked_3d(
+            self.nx, self.ny, self.nz, cd, cx, cy, cz, self.cs, bz, by, wp
+        )
+        gy8 = hp // 8
+        gsz = by // 8
+        nk = -(-d // bz)  # ragged tail: garbage reads masked, stores clipped
+        in_specs = [
+            pl.BlockSpec((bz, by, wp), lambda k, j: (k, j, 0)),
+            pl.BlockSpec(
+                (1, by, wp), lambda k, j: (jnp.maximum(k * bz - 1, 0), j, 0)
+            ),
+            pl.BlockSpec(
+                (1, by, wp),
+                lambda k, j: (jnp.minimum(k * bz + bz, d - 1), j, 0),
+            ),
+            pl.BlockSpec(
+                (bz, 8, wp), lambda k, j: (k, jnp.maximum(j * gsz - 1, 0), 0)
+            ),
+            pl.BlockSpec(
+                (bz, 8, wp),
+                lambda k, j: (k, jnp.minimum(j * gsz + gsz, gy8 - 1), 0),
+            ),
+            pl.BlockSpec((bz, by, wp), lambda k, j: (k, j, 0)),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(nk, hp // by),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bz, by, wp), lambda k, j: (k, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((d, hp, wp), x.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            interpret=self.interpret,
+        )(x, x, x, x, x, b)
 
     def _jacobi(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         d, hp, wp = self.padded_shape

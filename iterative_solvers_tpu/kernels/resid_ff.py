@@ -309,6 +309,123 @@ def pallas_residual_ff_3d(
     )(xh, xh, xh, xh, xh, xl, xl, xl, xl, xl, bh, bl)
 
 
+def _make_k_resid_ff_chunked_3d(nx, ny, nz, cd, cx, cy, cz, bz, by, wp):
+    """z-chunked variant: each program emits ``bz`` planes of (rh, rl),
+    reading each xh/xl plane once (+ the two z-edge planes) instead of ~3
+    reads/plane. Ragged depth handled like mg_fused3d's chunked legs."""
+    delta = _coeff_delta((cd, cx, cy, cz))
+
+    def kernel(xhc_ref, xhu_ref, xhd_ref, hup_h_ref, hdn_h_ref,
+               xlc_ref, xlu_ref, xld_ref, hup_l_ref, hdn_l_ref,
+               bh_ref, bl_ref, rh_ref, rl_ref):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * bz
+        row0 = j * by
+
+        def masked_planes(c_ref, u_ref, d_ref):
+            def raw(off):
+                if off == -1:
+                    return u_ref[0]
+                if off == bz:
+                    return d_ref[0]
+                return c_ref[off]
+
+            return {
+                off: jnp.where(
+                    _mask3_at(nx, ny, nz, z0 + off, row0, (by, wp)),
+                    raw(off), 0.0,
+                )
+                for off in range(-1, bz + 1)
+            }
+
+        xh = masked_planes(xhc_ref, xhu_ref, xhd_ref)
+        xl = masked_planes(xlc_ref, xlu_ref, xld_ref)
+
+        for s in range(bz):
+            m = _mask3_at(nx, ny, nz, z0 + s, row0, (by, wp))
+            mu = _mask3_at(nx, ny, nz, z0 + s, row0 - 1, (1, wp))
+            md = _mask3_at(nx, ny, nz, z0 + s, row0 + by, (1, wp))
+            bh = jnp.where(m, bh_ref[s], 0.0)
+            bl = jnp.where(m, bl_ref[s], 0.0)
+
+            def neighbors(x, up_row, dn_row):
+                up = jnp.concatenate([up_row, x[:-1, :]], axis=0)
+                dn = jnp.concatenate([x[1:, :], dn_row], axis=0)
+                lf = pltpu.roll(x, np.int32(1), 1)
+                rt = pltpu.roll(x, np.int32(wp - 1), 1)
+                return lf, rt, up, dn
+
+            h_lf, h_rt, h_up, h_dn = neighbors(
+                xh[s],
+                jnp.where(mu, hup_h_ref[s, -1:, :], 0.0),
+                jnp.where(md, hdn_h_ref[s, :1, :], 0.0),
+            )
+            mx, ex = _axis_diff2(xh[s], h_lf, h_rt, cx)
+            my, ey = _axis_diff2(xh[s], h_up, h_dn, cy)
+            mz, ez = _axis_diff2(xh[s], xh[s - 1], xh[s + 1], cz)
+
+            l_lf, l_rt, l_up, l_dn = neighbors(
+                xl[s],
+                jnp.where(mu, hup_l_ref[s, -1:, :], 0.0),
+                jnp.where(md, hdn_l_ref[s, :1, :], 0.0),
+            )
+            axl = (
+                cd * xl[s] + cx * (l_lf + l_rt) + cy * (l_up + l_dn)
+                + cz * (xl[s - 1] + xl[s + 1])
+            )
+            corr = ((ex + ey) + ez) + jnp.where(m, axl, 0.0)
+            if delta != 0.0:
+                corr = corr + jnp.float32(delta) * xh[s]
+            rh, rl = _finish_pair(bh, bl, (mx, my, mz), corr, m)
+            rh_ref[s] = rh
+            rl_ref[s] = rl
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cd", "cx", "cy", "cz", "block_z", "block_rows",
+        "interpret",
+    ),
+)
+def pallas_residual_ff_3d_chunked(
+    xh, xl, bh, bl, *, nx, ny, nz, cd, cx, cy, cz, block_z, block_rows,
+    interpret
+):
+    """z-chunked :func:`pallas_residual_ff_3d` (each xh/xl plane read once)."""
+    d, hp, wp = xh.shape
+    bz, by = block_z, block_rows
+    assert hp % by == 0 and wp % 128 == 0, (d, hp, wp, by)
+    kernel = _make_k_resid_ff_chunked_3d(nx, ny, nz, cd, cx, cy, cz, bz, by, wp)
+    gy8 = hp // 8
+    gsz = by // 8
+    nk = -(-d // bz)  # ragged tail: garbage reads masked, stores clipped
+    chunk = pl.BlockSpec((bz, by, wp), lambda k, j: (k, j, 0))
+    zup = pl.BlockSpec((1, by, wp), lambda k, j: (jnp.maximum(k * bz - 1, 0), j, 0))
+    zdn = pl.BlockSpec(
+        (1, by, wp), lambda k, j: (jnp.minimum(k * bz + bz, d - 1), j, 0)
+    )
+    hup = pl.BlockSpec((bz, 8, wp), lambda k, j: (k, jnp.maximum(j * gsz - 1, 0), 0))
+    hdn = pl.BlockSpec(
+        (bz, 8, wp), lambda k, j: (k, jnp.minimum(j * gsz + gsz, gy8 - 1), 0)
+    )
+    out = jax.ShapeDtypeStruct((d, hp, wp), xh.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nk, hp // by),
+        in_specs=[chunk, zup, zdn, hup, hdn,
+                  chunk, zup, zdn, hup, hdn,
+                  chunk, chunk],
+        out_specs=(chunk, chunk),
+        out_shape=(out, out),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(xh, xh, xh, xh, xh, xl, xl, xl, xl, xl, bh, bl)
+
+
 # --------------------------------------------------------------------------
 # operator-keyed dispatch for the device-IR loop
 # --------------------------------------------------------------------------
@@ -350,9 +467,26 @@ def ff_residual_fn(op, field_shape):
         op.padded_shape
     ):
         cd, cx, cy, cz = op.coeffs
+        # The z-chunked variant (each xh/xl plane read once vs ~3x) exists
+        # but stays OPT-IN (ISTPU_RESID_FF_BLOCK_Z): the EFT chain's live
+        # values x chunk depth x panel height put it in the Mosaic
+        # compile-blowup class (317 s at 64³/by=72 vs 1.7 s at by=8,
+        # measured 2026-08-20 — same class as the 5-plane K_down note in
+        # mg_fused3d), and the ~2 ms/eval it saves at 512³ does not justify
+        # minutes of compile risk in the bench watchdog budget.
+        import os
+
+        bz = int(os.environ.get("ISTPU_RESID_FF_BLOCK_Z", "1"))
 
         def fn3(b_pair: Pair, x_pair: Pair) -> Pair:
             with jax.enable_x64(False):
+                if bz > 1:
+                    return pallas_residual_ff_3d_chunked(
+                        x_pair[0], x_pair[1], b_pair[0], b_pair[1],
+                        nx=op.nx, ny=op.ny, nz=op.nz, cd=cd, cx=cx, cy=cy,
+                        cz=cz, block_z=bz, block_rows=op.block_rows,
+                        interpret=op.interpret,
+                    )
                 return pallas_residual_ff_3d(
                     x_pair[0], x_pair[1], b_pair[0], b_pair[1],
                     nx=op.nx, ny=op.ny, nz=op.nz, cd=cd, cx=cx, cy=cy, cz=cz,

@@ -690,7 +690,11 @@ def _fmg_payload(M):
 # (multigrid.fmg_stepwise docstring). Grids up to 512² are unaffected —
 # their warm start stays bit-identical to the monolithic fmg().
 _FMG_POLISH_MAX_EXTENT = 512
-_FMG_SMOOTH_SWEEPS = 4
+# 2 sweeps land the same warm-start depth as 4 at 8192² (3.524e-6 vs
+# 3.480e-6 true rel, solve trajectory unchanged, ~2 ms cheaper) and within
+# 1% at 512³; 1 sweep starts eroding the landing (4.1e-6) — measured
+# 2026-08-20, NOTES_PERF round 5 FMG probes.
+_FMG_SMOOTH_SWEEPS = 2
 
 
 def _maybe_fmg_x0(M, fmg, b):

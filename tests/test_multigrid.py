@@ -655,3 +655,29 @@ def test_fused3d_auto_chunk_default_matches_per_plane():
     z_pp = np.asarray(M_pp(r))
     scale = max(np.abs(z_pp).max(), 1e-30)
     np.testing.assert_allclose(z_auto, z_pp, rtol=1e-5, atol=1e-5 * scale)
+
+
+def test_jacobi3d_chunked_matches_per_plane():
+    """The z-chunked Jacobi sweep (auto default at D>=32, ragged D=33) must
+    reproduce the per-plane sweep kernel to FMA round-off."""
+    from iterative_solvers_tpu.core.domain import Domain3D
+    from iterative_solvers_tpu.solvers.multigrid import _FusedLevel3D
+
+    dom = Domain3D(nx=32, ny=32, nz=32)
+    M_c = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True
+    )
+    M_p = MultigridPreconditioner.from_domain(
+        dom, fuse=True, fuse_min_extent=16, interpret=True, fuse_block_z=1
+    )
+    lev_c, lev_p = M_c.levels[0], M_p.levels[0]
+    assert lev_c.kernels.block_z == 8 and lev_p.kernels.block_z == 1
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    jl = lev_p.jnp_level
+    x = jl.mask(jax.random.normal(k1, dom.grid_shape).astype(jnp.float32))
+    b = jl.mask(jax.random.normal(k2, dom.grid_shape).astype(jnp.float32))
+    xp, bp = lev_p.pad_in(x), lev_p.pad_in(b)
+    got_c = np.asarray(lev_c.kernels.jacobi(xp, bp))
+    got_p = np.asarray(lev_p.kernels.jacobi(xp, bp))
+    scale = max(np.abs(got_p).max(), 1e-30)
+    np.testing.assert_allclose(got_c, got_p, rtol=1e-5, atol=1e-5 * scale)

@@ -171,3 +171,46 @@ def test_outer_loop_trajectory_kernel_vs_jnp():
     sol_j = np.asarray(x_j[0], np.float64) + np.asarray(x_j[1], np.float64)
     scale = np.abs(sol_j).max()
     np.testing.assert_allclose(sol_k, sol_j, atol=1e-9 * scale)
+
+
+def test_resid_ff_3d_chunked_matches_per_plane():
+    """The opt-in z-chunked ff-residual (ISTPU_RESID_FF_BLOCK_Z; bz=4 on
+    the ragged D=33) must match the per-plane kernel bit-for-bit up to FMA
+    reassociation and the jnp chain to pair-ulps."""
+    from iterative_solvers_tpu.kernels.resid_ff import (
+        pallas_residual_ff_3d,
+        pallas_residual_ff_3d_chunked,
+    )
+    from iterative_solvers_tpu.kernels.stencil3d_pallas import (
+        Pallas3DStencilOperator,
+    )
+    from iterative_solvers_tpu.solvers.refine import _padded_hi_operator
+
+    dom = Domain3D(nx=32, ny=32, nz=32)
+    pop = Pallas3DStencilOperator.from_domain(dom)
+    A_hi = _padded_hi_operator(pop)
+    rng = np.random.default_rng(13)
+    b_pair, _ = _pair_fields(rng, pop, scale=1e4)
+    x_pair, _ = _pair_fields(rng, pop)
+    cd, cx, cy, cz = pop.coeffs
+    got_h, got_l = pallas_residual_ff_3d_chunked(
+        x_pair[0], x_pair[1], b_pair[0], b_pair[1],
+        nx=pop.nx, ny=pop.ny, nz=pop.nz, cd=cd, cx=cx, cy=cy, cz=cz,
+        block_z=4, block_rows=pop.block_rows, interpret=pop.interpret,
+    )
+    pp_h, pp_l = pallas_residual_ff_3d(
+        x_pair[0], x_pair[1], b_pair[0], b_pair[1],
+        nx=pop.nx, ny=pop.ny, nz=pop.nz, cd=cd, cx=cx, cy=cy, cz=cz,
+        block_rows=pop.block_rows, interpret=pop.interpret,
+    )
+    scale = float(jnp.max(jnp.abs(b_pair[0])))
+    np.testing.assert_allclose(
+        np.asarray(got_h), np.asarray(pp_h), atol=32 * scale * 2.0**-48
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_l), np.asarray(pp_l), atol=32 * scale * 2.0**-48
+    )
+    want_h, want_l = residual_ff(A_hi.interior, A_hi.coeffs, b_pair, x_pair)
+    got = np.asarray(got_h, np.float64) + np.asarray(got_l, np.float64)
+    want = np.asarray(want_h, np.float64) + np.asarray(want_l, np.float64)
+    np.testing.assert_allclose(got, want, atol=64 * scale * 2.0**-48)
