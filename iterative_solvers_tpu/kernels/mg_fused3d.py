@@ -541,16 +541,32 @@ class FusedLevelKernels3D:
             interpret=self.interpret,
         )(r, r, r)
 
+    def _jacobi_block_rows(self) -> int:
+        """Panel height for the CHUNKED Jacobi sweep: the largest
+        multiple-of-8 divisor of Hp <= 48. The live set is ~(bz+2) x-planes
+        of (by, Wp); by <= 48 keeps it ~1 MB (leg-sized by=104 would be
+        ~26 MB). End-to-end validated: the 512³ ff solve with this sweep in
+        the FMG polish measured 295.6 ms (NOTES_PERF round 5). NB eager
+        per-call timings of this kernel are retrace-dominated (~1 s to
+        rebuild/lower the unrolled chunk body on the 1-core host) — only
+        jitted in-program use reflects kernel runtime."""
+        hp = self.padded_shape[1]
+        best = 8
+        for by in range(8, 49, 8):
+            if hp % by == 0:
+                best = by
+        return best
+
     def jacobi(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """One weighted-Jacobi sweep on the padded (D, Hp, Wp) layout."""
         with jax.enable_x64(False):
-            if self.block_z > 1:
+            if self.block_z > 1 and self._jacobi_block_rows() >= 24:
                 return self._jacobi_chunked(x, b)
             return self._jacobi(x, b)
 
     def _jacobi_chunked(self, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         d, hp, wp = self.padded_shape
-        bz, by = self.block_z, self.block_rows
+        bz, by = self.block_z, self._jacobi_block_rows()
         cd, cx, cy, cz = self.coeffs
         kernel = _make_k_jacobi_chunked_3d(
             self.nx, self.ny, self.nz, cd, cx, cy, cz, self.cs, bz, by, wp

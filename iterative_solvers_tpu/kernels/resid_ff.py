@@ -467,16 +467,15 @@ def ff_residual_fn(op, field_shape):
         op.padded_shape
     ):
         cd, cx, cy, cz = op.coeffs
-        # The z-chunked variant (each xh/xl plane read once vs ~3x) exists
-        # but stays OPT-IN (ISTPU_RESID_FF_BLOCK_Z): the EFT chain's live
-        # values x chunk depth x panel height put it in the Mosaic
-        # compile-blowup class (317 s at 64³/by=72 vs 1.7 s at by=8,
-        # measured 2026-08-20 — same class as the 5-plane K_down note in
-        # mg_fused3d), and the ~2 ms/eval it saves at 512³ does not justify
-        # minutes of compile risk in the bench watchdog budget.
-        import os
-
-        bz = int(os.environ.get("ISTPU_RESID_FF_BLOCK_Z", "1"))
+        # z-chunked variant (each xh/xl plane read once vs ~3x) on deep
+        # volumes, with a SMALL panel: the chunk's live set is ~2(bz+2)
+        # masked planes of (by, Wp); by <= 48 keeps it ~1 MB. Measured
+        # 31.4 ms vs 32.9 per-plane at 512³ standalone (compile 1.3 s), and
+        # the full 512³ ff solve with this + the chunked Jacobi polish hit
+        # 295.6 ms vs 311.5 (2026-08-20, NOTES_PERF round 5).
+        d_pad, hp, _ = op.padded_shape
+        by_c = max((b for b in range(8, 49, 8) if hp % b == 0), default=8)
+        bz = 4 if (d_pad >= 32 and by_c >= 24) else 1
 
         def fn3(b_pair: Pair, x_pair: Pair) -> Pair:
             with jax.enable_x64(False):
@@ -484,7 +483,7 @@ def ff_residual_fn(op, field_shape):
                     return pallas_residual_ff_3d_chunked(
                         x_pair[0], x_pair[1], b_pair[0], b_pair[1],
                         nx=op.nx, ny=op.ny, nz=op.nz, cd=cd, cx=cx, cy=cy,
-                        cz=cz, block_z=bz, block_rows=op.block_rows,
+                        cz=cz, block_z=bz, block_rows=by_c,
                         interpret=op.interpret,
                     )
                 return pallas_residual_ff_3d(
