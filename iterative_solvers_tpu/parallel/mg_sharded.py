@@ -586,7 +586,10 @@ class ShardedFusedMultigrid:
     def fmg_stepwise(self, r: jnp.ndarray, n_vcycles: int = 1, **kw) -> jnp.ndarray:
         """Per-level-program FMG on the mesh-padded layout (see
         multigrid.fmg_stepwise — one GSPMD program per level instead of the
-        O(levels²) monolith; the refine ladders route here)."""
+        O(levels²) monolith; the refine ladders route here). ``combine`` is
+        dropped: a single GSPMD chain program was never build-time-validated
+        over a mesh, so the mesh path keeps per-level programs."""
+        kw.pop("combine", None)
         h, w = self.grid_shape
         x = self.inner.fmg_stepwise(r[:h, :w], n_vcycles, **kw)
         return jnp.pad(x, ((0, r.shape[0] - h), (0, r.shape[1] - w)))

@@ -666,8 +666,10 @@ class MultigridPreconditioner:
         n_vcycles: int = 1,
         polish_max_extent: Optional[int] = None,
         smooth_sweeps: int = 4,
+        combine: bool = False,
     ) -> jnp.ndarray:
-        """:meth:`fmg` as one compiled program PER LEVEL (async dispatches).
+        """:meth:`fmg` as one compiled program PER LEVEL (async dispatches),
+        or — with ``combine=True`` — the whole ladder as ONE program.
 
         The monolithic FMG program inlines a full V-cycle at every level —
         O(levels²) level instances in one XLA program whose build time
@@ -685,10 +687,28 @@ class MultigridPreconditioner:
         versus 1.4e-4 for cutoff-513 with NO smoothing. Default None keeps
         :meth:`fmg` numerics exactly (V-cycle polish everywhere).
 
+        ``combine=True`` fuses the per-level rungs into a single compiled
+        chain — identical arithmetic, one dispatch instead of L+1. With the
+        polish cutoff active the fine rungs are compile-trivial sweep
+        programs and the V-cycle instances below the cutoff are the same
+        small kernels the per-level path compiles anyway, so the round-3
+        O(levels²) build-time hazard does not apply; per-rung dispatch
+        overhead (~2 ms each over a tunneled TPU, NOTES_PERF round 5) does.
+        Single-device path only — the mesh adapters keep per-level GSPMD
+        programs.
+
         Requires the :meth:`with_fmg` payload.
         """
         if self.fmg_data is None:
             raise ValueError("fmg_stepwise requires the with_fmg payload")
+        if combine:
+            return _fmg_chain(
+                self,
+                int(n_vcycles),
+                int(smooth_sweeps),
+                None if polish_max_extent is None else int(polish_max_extent),
+                b,
+            )
         x = _fmg_rung_coarsest(self, b)
         for li in range(len(self.levels) - 2, -1, -1):
             nv = int(n_vcycles)
@@ -755,8 +775,7 @@ class MultigridPreconditioner:
         return len(self.levels)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _fmg_rung_coarsest(M: MultigridPreconditioner, b) -> jnp.ndarray:
+def _fmg_rung_coarsest_body(M: MultigridPreconditioner, b) -> jnp.ndarray:
     """Coarsest FMG rung: exact solve of the REdiscretized coarsest problem.
     The RHS is a ``with_fmg`` closure constant — except when the hierarchy
     has a single level, where the coarsest IS the finest and the caller's
@@ -766,8 +785,35 @@ def _fmg_rung_coarsest(M: MultigridPreconditioner, b) -> jnp.ndarray:
     return M.coarse_solve(bc)
 
 
+_fmg_rung_coarsest = functools.partial(jax.jit, static_argnums=(0,))(
+    _fmg_rung_coarsest_body
+)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _fmg_rung(
+def _fmg_chain(
+    M: MultigridPreconditioner,
+    n_vcycles: int,
+    n_smooth: int,
+    polish_max_extent: Optional[int],
+    b,
+) -> jnp.ndarray:
+    """The entire stepwise-FMG ladder as ONE compiled program (same
+    arithmetic as the per-level rung dispatches — see
+    :meth:`MultigridPreconditioner.fmg_stepwise` ``combine=True``)."""
+    x = _fmg_rung_coarsest_body(M, b)
+    for li in range(len(M.levels) - 2, -1, -1):
+        nv = int(n_vcycles)
+        if (
+            polish_max_extent is not None
+            and max(M.domains[li].grid_shape) > polish_max_extent
+        ):
+            nv = 0
+        x = _fmg_rung_body(M, li, nv, int(n_smooth), x, b)
+    return x
+
+
+def _fmg_rung_body(
     M: MultigridPreconditioner,
     li: int,
     n_vcycles: int,
@@ -821,6 +867,9 @@ def _fmg_rung(
     return x
 
 
+_fmg_rung = functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))(_fmg_rung_body)
+
+
 @dataclass(frozen=True, eq=False)
 class ShardedMultigridPreconditioner:
     """Multigrid V-cycle over mesh-sharded fields (parallel/mesh.py layout).
@@ -865,7 +914,10 @@ class ShardedMultigridPreconditioner:
     def fmg_stepwise(self, r: jnp.ndarray, n_vcycles: int = 1, **kw) -> jnp.ndarray:
         """Per-level-program FMG on the mesh-padded layout — the rung
         programs run GSPMD on the global sharded arrays (iota masks and
-        traced payload recipes shard like any other op)."""
+        traced payload recipes shard like any other op). ``combine`` is
+        dropped: the mesh path keeps per-level programs (a single GSPMD
+        chain was never build-time-validated over a mesh)."""
+        kw.pop("combine", None)
         sl = tuple(slice(0, s) for s in self.grid_shape)
         x = self.inner.fmg_stepwise(r[sl], n_vcycles, **kw)
         pads = [(0, p - g) for p, g in zip(r.shape, self.grid_shape)]

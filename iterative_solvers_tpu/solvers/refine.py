@@ -703,9 +703,11 @@ def _maybe_fmg_x0(M, fmg, b):
     sharp problems where FMG(1) undershoots need 2-3, see tests/test_fmg.py)."""
     if not (fmg and _supports_fmg(M)):
         return None
-    # Prefer the per-level-program dispatch: same arithmetic, but the
-    # monolithic FMG program is O(levels²) level instances and its build
-    # dominated bench wall time (NOTES_PERF 2026-08-19).
+    # Prefer the stepwise form: the full-polish monolithic FMG program is
+    # O(levels²) level instances and its build dominated bench wall time
+    # (NOTES_PERF 2026-08-19). With the polish cutoff its content is
+    # compile-cheap, so the single-device path re-combines the rungs into
+    # one program (combine=True) purely to save per-rung dispatch overhead.
     step = getattr(M, "fmg_stepwise", None)
     if step is not None and _fmg_payload(M) is not None:
         return step(
@@ -713,6 +715,10 @@ def _maybe_fmg_x0(M, fmg, b):
             int(fmg),
             polish_max_extent=_FMG_POLISH_MAX_EXTENT,
             smooth_sweeps=_FMG_SMOOTH_SWEEPS,
+            # one program for the whole ladder: saves ~2 ms of dispatch
+            # overhead per rung over a tunneled TPU (NOTES_PERF round 5);
+            # the mesh adapters drop the flag and keep per-level programs
+            combine=True,
         )
     return _fmg_start(M, b, int(fmg))
 

@@ -309,6 +309,39 @@ def test_fmg_stepwise_matches_monolithic(shape):
         assert np.max(np.abs(x_mono - x_step)) <= 1e-5 * scale
 
 
+@pytest.mark.parametrize("shape", ["gamma", "rect"])
+def test_fmg_stepwise_combine_matches_per_level(shape):
+    """combine=True (the whole ladder as ONE program — saves ~2 ms of
+    dispatch overhead per rung over a tunneled TPU) is the same trace as
+    the per-level rung programs, so fields agree bit-exactly; covers the
+    polish cutoff (mixed V-cycle / Jacobi-sweep rungs) and a single-level
+    hierarchy (n=30)."""
+    for n, cut in ((64, None), (64, 32), (30, None)):
+        if shape == "gamma" and n % 2:
+            continue
+        dom, prob, op, b = _setup(n, shape, dtype=jnp.float32)
+        M = MultigridPreconditioner.from_domain(dom).with_fmg(prob)
+        a = np.asarray(M.fmg_stepwise(b, 1, polish_max_extent=cut, smooth_sweeps=2))
+        c = np.asarray(
+            M.fmg_stepwise(
+                b, 1, polish_max_extent=cut, smooth_sweeps=2, combine=True
+            )
+        )
+        assert np.max(np.abs(a - c)) <= 1e-6 * np.max(np.abs(a))
+
+
+def test_fmg_stepwise_combine_matches_per_level_3d():
+    dom = Domain3D(nx=16, ny=16, nz=16)
+    prob = PoissonProblem.manufactured(dom)
+    M = MultigridPreconditioner.from_domain(dom).with_fmg(prob)
+    b = prob.rhs_field(jnp.float32)
+    a = np.asarray(M.fmg_stepwise(b, 1, polish_max_extent=8, smooth_sweeps=2))
+    c = np.asarray(
+        M.fmg_stepwise(b, 1, polish_max_extent=8, smooth_sweeps=2, combine=True)
+    )
+    assert np.max(np.abs(a - c)) <= 1e-6 * np.max(np.abs(a))
+
+
 def test_fmg_stepwise_requires_payload():
     dom, prob, op, b = _setup(32)
     M = MultigridPreconditioner.from_domain(dom)
