@@ -94,6 +94,37 @@ def _prolong1d(a: jnp.ndarray, axis: int) -> jnp.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _restrict_mat_np(n_active: int, n_in: int) -> np.ndarray:
+    """``(n_in, nc)`` full-weighting restriction matrix along one axis:
+    coarse node c <- fine nodes (2c-1, 2c, 2c+1) with weights [1,2,1]/4,
+    rows >= ``n_active`` (the padded tail of the kernel layout) all-zero —
+    the crop is folded into the operator. Used by the fused-3D V-cycle's
+    matmul transfers (see _FusedLevel3D.restrict_yx)."""
+    nc = (n_active - 1) // 2 + 1
+    R = np.zeros((n_in, nc), np.float32)
+    for c in range(nc):
+        for off, wgt in ((-1, 0.25), (0, 0.5), (1, 0.25)):
+            f = 2 * c + off
+            if 0 <= f < n_active:
+                R[f, c] = wgt
+    return R
+
+
+@functools.lru_cache(maxsize=None)
+def _prolong_mat_np(n_active: int, n_out: int) -> np.ndarray:
+    """``(nc, n_out)`` linear-interpolation matrix: P = 2 Rᵀ (the exact
+    adjoint relation the symmetric V-cycle requires), columns >= n_active
+    zero — prolongation writes the padded layout directly."""
+    return np.ascontiguousarray(2.0 * _restrict_mat_np(n_active, n_out).T)
+
+
+# Above this per-axis extent the O(extent) matmul-transfer arithmetic
+# exceeds the MXU:HBM balance point (~240 flops/byte on v5e) and the
+# stride-2 XLA path wins again; 512³-class grids sit far below it.
+_MATMUL_TRANSFER_MAX_EXTENT = 1024
+
+
 def restrict_full_weighting(r: jnp.ndarray) -> jnp.ndarray:
     """ndim-separable full-weighting restriction (all axes halved)."""
     for ax in range(r.ndim):
@@ -307,6 +338,39 @@ class _FusedLevel3D:
 
     def mask(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.jnp_level.mask(x)
+
+    @property
+    def _matmul_transfers(self) -> bool:
+        """Run the y/x V-cycle transfers as banded-matrix MXU matmuls.
+
+        The stride-2 XLA forms (_restrict1d/_prolong1d) lower ~10x off
+        roofline on TPU (measured at 512³: 13.8 ms of the 24.8 ms finest
+        V-cycle — NOTES_PERF round 5); as (hp, hc)/(wp, wc) banded
+        constants contracted on the MXU the same transfers are O(extent)
+        flops/node, cheap below the MXU:HBM balance point, and the crop
+        (zero rows) and pad (zero columns) copies fold into the operator."""
+        d, hp, wp = self.kernels.padded_shape
+        return max(hp, wp) <= _MATMUL_TRANSFER_MAX_EXTENT
+
+    def restrict_yx(self, rr: jnp.ndarray) -> jnp.ndarray:
+        """(dc, hp, wp) z-restricted residual -> (dc, hc, wc) child field:
+        full-weighting along y and x, crop folded in. Precision.HIGH keeps
+        the R = Pᵀ/2 adjoint pair f32-faithful (bf16x3 passes) so the
+        V-cycle stays symmetric for PCG."""
+        d, hp, wp = self.kernels.padded_shape
+        Ry = jnp.asarray(_restrict_mat_np(self.h, hp))
+        Rx = jnp.asarray(_restrict_mat_np(self.w, wp))
+        t = jnp.einsum("zyx,xc->zyc", rr, Rx, precision=jax.lax.Precision.HIGH)
+        return jnp.einsum("zyc,yd->zdc", t, Ry, precision=jax.lax.Precision.HIGH)
+
+    def prolong_yx(self, ec: jnp.ndarray) -> jnp.ndarray:
+        """(dc, hc, wc) child correction -> (dc, hp, wp) fine padded layout:
+        linear interpolation along y and x (P = 2 Rᵀ), pad folded in."""
+        d, hp, wp = self.kernels.padded_shape
+        Py = jnp.asarray(_prolong_mat_np(self.h, hp))
+        Px = jnp.asarray(_prolong_mat_np(self.w, wp))
+        t = jnp.einsum("zyx,yY->zYx", ec, Py, precision=jax.lax.Precision.HIGH)
+        return jnp.einsum("zYx,xX->zYX", t, Px, precision=jax.lax.Precision.HIGH)
 
 
 @dataclass(frozen=True, eq=False)
@@ -531,14 +595,20 @@ class MultigridPreconditioner:
                 padded_in = b.shape == (dz, hp, wp)
                 bp = b if padded_in else lev.pad_in(b)
                 rr = lev.kernels.down(bp)  # z-restricted residual (Dc, hp, wp)
-                rc = rr[:, : lev.h, : lev.w]
-                rc = _restrict1d(_restrict1d(rc, 1), 2)  # y, x in XLA
+                if lev._matmul_transfers:
+                    rc = lev.restrict_yx(rr)  # y, x on the MXU, crop folded
+                else:
+                    rc = rr[:, : lev.h, : lev.w]
+                    rc = _restrict1d(_restrict1d(rc, 1), 2)  # y, x in XLA
                 rc = jnp.where(lev.child_interior, rc, 0.0)
                 ec = self._vcycle(li + 1, rc)
-                ecl = _prolong1d(_prolong1d(ec, 1), 2)  # y, x back up
-                ecl = jnp.pad(
-                    ecl, ((0, 0), (0, hp - lev.h), (0, wp - lev.w))
-                )
+                if lev._matmul_transfers:
+                    ecl = lev.prolong_yx(ec)  # y, x on the MXU, pad folded
+                else:
+                    ecl = _prolong1d(_prolong1d(ec, 1), 2)  # y, x back up
+                    ecl = jnp.pad(
+                        ecl, ((0, 0), (0, hp - lev.h), (0, wp - lev.w))
+                    )
                 out = lev.kernels.up(bp, ecl)
                 return out if padded_in else out[:, : lev.h, : lev.w]
             lev = lev.jnp_level
