@@ -423,6 +423,83 @@ class FusedLevelKernels:
         )(x, x, x, b)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_restrict_mats() -> Tuple[np.ndarray, np.ndarray]:
+    """(128, 64) tile-diagonal + previous-tile lane-restriction operators.
+
+    Fine lane i of tile t feeds coarse lane j of the co-indexed 64-wide
+    coarse tile when i == 2j + {-1, 0, +1} (weights [1,2,1]/4) — the
+    relation is tile-independent, so ONE (128, 64) matrix contracts every
+    tile on the MXU; the single cross-tile coupling (coarse j=0 needs the
+    previous tile's lane 127) is a second matrix with one nonzero."""
+    W1 = np.zeros((128, 64), np.float32)
+    for j in range(64):
+        for off, wgt in ((-1, 0.25), (0, 0.5), (1, 0.25)):
+            i = 2 * j + off
+            if 0 <= i < 128:
+                W1[i, j] = wgt
+    W2 = np.zeros((128, 64), np.float32)
+    W2[127, 0] = 0.25
+    return W1, W2
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_prolong_mats() -> Tuple[np.ndarray, np.ndarray]:
+    """(64, 128) tile-diagonal + next-tile lane-prolongation operators
+    (P = 2 Rᵀ, the adjoint pair the symmetric V-cycle requires)."""
+    W1, W2 = _lane_restrict_mats()
+    return (
+        np.ascontiguousarray(2.0 * W1.T),
+        np.ascontiguousarray(2.0 * W2.T),
+    )
+
+
+def lane_restrict_mm(rr: jnp.ndarray, nx: int, wc_pad: int) -> jnp.ndarray:
+    """:func:`lane_restrict` as a tile-banded MXU contraction.
+
+    The strided-slice form lowers ~6x off roofline on TPU (measured 2.71 ms
+    on the 4097x8320 intermediate at 8192² — NOTES_PERF round 5); viewing
+    the lanes as (nt, 128) tiles turns the restriction into one batched
+    (128, 64) matmul plus a one-nonzero cross-tile term — O(1) extra
+    arithmetic per node on the MXU. Requires lanes >= ``nx+1`` masked to
+    zero (true for the fused kernels' outputs) — the active-width crop of
+    the strided form is subsumed by those zeros. Single-device layouts
+    only; the sharded per-block path keeps :func:`lane_restrict`."""
+    hr, wp = rr.shape
+    W1, W2 = _lane_restrict_mats()
+    T = rr.reshape(hr, wp // 128, 128)
+    prev = jnp.concatenate([jnp.zeros_like(T[:, :1]), T[:, :-1]], axis=1)
+    hi = jax.lax.Precision.HIGH
+    out = (
+        jnp.einsum("rti,ij->rtj", T, jnp.asarray(W1), precision=hi)
+        + jnp.einsum("rti,ij->rtj", prev, jnp.asarray(W2), precision=hi)
+    ).reshape(hr, wp // 2)
+    if wp // 2 >= wc_pad:
+        return out[:, :wc_pad]
+    return jnp.pad(out, ((0, 0), (0, wc_pad - wp // 2)))
+
+
+def lane_prolong_mm(ec: jnp.ndarray, cnx: int, w_pad: int) -> jnp.ndarray:
+    """:func:`lane_prolong` as the adjoint tile-banded MXU contraction
+    (see :func:`lane_restrict_mm`); coarse lanes >= ``cnx+1`` must be
+    zero (the child V-cycle's masked output)."""
+    hr = ec.shape[0]
+    wc_half = w_pad // 2
+    if ec.shape[1] < wc_half:
+        ec = jnp.pad(ec, ((0, 0), (0, wc_half - ec.shape[1])))
+    C = ec[:, :wc_half].reshape(hr, w_pad // 128, 64)
+    nxt = jnp.concatenate([C[:, 1:], jnp.zeros_like(C[:, :1])], axis=1)
+    P1, P2 = _lane_prolong_mats()
+    hi = jax.lax.Precision.HIGH
+    return (
+        jnp.einsum("rtj,ji->rti", C, jnp.asarray(P1), precision=hi)
+        + jnp.einsum("rtj,ji->rti", nxt, jnp.asarray(P2), precision=hi)
+    ).reshape(hr, w_pad)
+
+
 def lane_restrict(rr: jnp.ndarray, nx: int, wc_pad: int) -> jnp.ndarray:
     """Lane-axis full weighting on the rows-restricted intermediate:
     coarse col c <- fine cols (2c-1, 2c, 2c+1); output padded to wc_pad."""

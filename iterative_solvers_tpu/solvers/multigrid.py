@@ -615,8 +615,8 @@ class MultigridPreconditioner:
         elif isinstance(lev, _FusedLevel):
             if b.dtype == jnp.float32:
                 from iterative_solvers_tpu.kernels.mg_fused import (
-                    lane_prolong,
-                    lane_restrict,
+                    lane_prolong_mm,
+                    lane_restrict_mm,
                 )
 
                 hp, wp = lev.kernels.padded_shape
@@ -627,10 +627,10 @@ class MultigridPreconditioner:
                 padded_in = b.shape == (hp, wp)
                 bp = b if padded_in else lev.pad_in(b)
                 rr = lev.kernels.down(bp)
-                rc = lane_restrict(rr[: lev.ch], lev.nx, lev.cw)
+                rc = lane_restrict_mm(rr[: lev.ch], lev.nx, lev.cw)
                 rc = jnp.where(lev.child_interior, rc, 0.0)
                 ec = self._vcycle(li + 1, rc)
-                ecl = lane_prolong(ec, lev.nx // 2, wp)
+                ecl = lane_prolong_mm(ec, lev.nx // 2, wp)
                 ecl = jnp.pad(ecl, ((0, hp // 2 - lev.ch), (0, 0)))
                 out = lev.kernels.up(bp, ecl)
                 return out if padded_in else out[: lev.h, : lev.w]
@@ -825,16 +825,16 @@ class MultigridPreconditioner:
             and tuple(r.shape) == tuple(lev.kernels.padded_shape)
         ):
             from iterative_solvers_tpu.kernels.mg_fused import (
-                lane_prolong,
-                lane_restrict,
+                lane_prolong_mm,
+                lane_restrict_mm,
             )
 
             hp, wp = lev.kernels.padded_shape
             rr = lev.kernels.down(r)
-            rc = lane_restrict(rr[: lev.ch], lev.nx, lev.cw)
+            rc = lane_restrict_mm(rr[: lev.ch], lev.nx, lev.cw)
             rc = jnp.where(lev.child_interior, rc, 0.0)
             ec = self._vcycle(1, rc)
-            ecl = lane_prolong(ec, lev.nx // 2, wp)
+            ecl = lane_prolong_mm(ec, lev.nx // 2, wp)
             ecl = jnp.pad(ecl, ((0, hp // 2 - lev.ch), (0, 0)))
             return lev.kernels.up(r, ecl, with_dot=True)
         z = self(r)
