@@ -699,11 +699,13 @@ def _fmg_payload(M):
 # (multigrid.fmg_stepwise docstring). Grids up to 512² are unaffected —
 # their warm start stays bit-identical to the monolithic fmg().
 _FMG_POLISH_MAX_EXTENT = 512
-# 2 sweeps land the same warm-start depth as 4 at 8192² (3.524e-6 vs
-# 3.480e-6 true rel, solve trajectory unchanged, ~2 ms cheaper) and within
-# 1% at 512³; 1 sweep starts eroding the landing (4.1e-6) — measured
-# 2026-08-20, NOTES_PERF round 5 FMG probes.
-_FMG_SMOOTH_SWEEPS = 2
+# 1 sweep lands ~4.1e-6 true rel at 8192² (vs 3.5e-6 with 2) — with the
+# 0.45 inner-eta factor both landings clip eta at 0.1, so the solve
+# trajectory is identical (1 outer / 2 inners, measured final rel 2.57e-7,
+# ~4x criterion margin) and the second ~6 ms sweep pass buys nothing. A
+# problem whose FMG lands shallower just pays extra inner iterations —
+# graceful, never wrong (the outer loop re-checks true residuals).
+_FMG_SMOOTH_SWEEPS = 1
 
 
 def _maybe_fmg_x0(M, fmg, b):
